@@ -1,0 +1,150 @@
+package graft.core
+
+import java.security.MessageDigest
+
+/** URDNA2015-style blank-node canonicalization via iterative hash refinement
+  * (color refinement over the bnode adjacency graph). Deterministic: labels
+  * depend only on graph structure, never on input label order.
+  *
+  * This is the partition-local (per-document) formulation; the distributed
+  * DataFrame-join formulation over the full corpus lives in
+  * graft.spark.Canonicalize and follows the same refinement rounds.
+  */
+object BnodeCanon {
+
+  private def sha256(s: String): String = {
+    val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  private def objKey(t: Triple): String = t.objKind + "\u0001" + t.objValue + "\u0001" + t.objDatatype + "\u0001" + t.objLang
+
+  /** Relabel all `_:` ids in `triples` with canonical `_:c<hex>` labels.
+    * `scopeSalt` is mixed into every label so bnodes from different scopes
+    * (documents) never collide; pass "" to canonicalize purely by structure.
+    * maxRounds bounds the refinement fixpoint (graph diameter is the true
+    * bound; identical-hash survivors get deterministic ordinal suffixes).
+    */
+  def canonicalize(triples: Vector[Triple], scopeSalt: String = "", maxRounds: Int = 8): Vector[Triple] = {
+    val bnodes = collection.mutable.LinkedHashSet[String]()
+    triples.foreach { t =>
+      if (t.subj.startsWith("_:")) bnodes += t.subj
+      if (t.objKind == "bnode") bnodes += t.objValue
+      if (t.graph.startsWith("_:")) bnodes += t.graph
+    }
+    if (bnodes.isEmpty) return triples
+
+    // initial hash: local first-degree signature
+    var hashes: Map[String, String] = bnodes.iterator.map { b =>
+      val sigs = triples.flatMap { t =>
+        val out = collection.mutable.ArrayBuffer[String]()
+        if (t.subj == b) out += s"s|${t.pred}|${if (t.objKind == "bnode") "_" else objKey(t)}|${if (t.graph.startsWith("_:")) "_" else t.graph}"
+        if (t.objKind == "bnode" && t.objValue == b) out += s"o|${t.pred}|${if (t.subj.startsWith("_:")) "_" else t.subj}|${if (t.graph.startsWith("_:")) "_" else t.graph}"
+        if (t.graph == b) out += s"g|${t.pred}"
+        out
+      }.sorted
+      b -> sha256(sigs.mkString("\n"))
+    }.toMap
+
+    // refinement: re-hash with neighbor hashes until stable or round cap
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val next = bnodes.iterator.map { b =>
+        val sigs = triples.flatMap { t =>
+          val out = collection.mutable.ArrayBuffer[String]()
+          def term(s: String): String = if (s.startsWith("_:")) "#" + hashes(s) else s
+          if (t.subj == b) out += s"s|${t.pred}|${if (t.objKind == "bnode") "#" + hashes(t.objValue) else objKey(t)}|${term(t.graph)}"
+          if (t.objKind == "bnode" && t.objValue == b) out += s"o|${t.pred}|${term(t.subj)}|${term(t.graph)}"
+          if (t.graph == b) out += s"g|${t.pred}|${term(t.subj)}"
+          out
+        }.sorted
+        b -> sha256(hashes(b) + "\n" + sigs.mkString("\n"))
+      }.toMap
+      changed = next != hashes &&
+        next.values.toSet.size != hashes.values.toSet.size // refine only while partitions split
+      hashes = next
+      round += 1
+    }
+
+    // deterministic tie-break for hash-identical (automorphic) nodes:
+    // order survivors by (hash, then stable order of first occurrence in the
+    // canonically-sorted triple listing)
+    val sortedTriples = triples.map(t => (t.graph, t.subj, t.pred, objKey(t))).sorted
+    val firstSeen: Map[String, Int] = {
+      val m = collection.mutable.LinkedHashMap[String, Int]()
+      var i = 0
+      for ((g, s, _, o) <- sortedTriples; cand <- Seq(s, o.split('\u0001')(1), g))
+        if (cand.startsWith("_:") && !m.contains(cand)) { m(cand) = i; i += 1 }
+      m.toMap
+    }
+    val groups = bnodes.toVector.groupBy(hashes)
+    val labels = collection.mutable.Map[String, String]()
+    for ((h, members) <- groups) {
+      val orderedMembers = members.sortBy(m => firstSeen.getOrElse(m, Int.MaxValue))
+      for ((m, i) <- orderedMembers.zipWithIndex) {
+        val suffix = if (members.size == 1) "" else s"-$i"
+        labels(m) = "_:c" + sha256(scopeSalt + "|" + h + suffix).substring(0, 16)
+      }
+    }
+    triples.map { t =>
+      t.copy(
+        subj = labels.getOrElse(t.subj, t.subj),
+        objValue = if (t.objKind == "bnode") labels.getOrElse(t.objValue, t.objValue) else t.objValue,
+        graph = labels.getOrElse(t.graph, t.graph))
+    }
+  }
+
+  /** Canonical N-Quads-style line for a triple (sorted output = canonical form). */
+  def toNQuad(t: Triple): String = {
+    def term(s: String): String = if (s.startsWith("_:")) s else s"<$s>"
+    def escape(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    val obj = t.objKind match {
+      case "literal" =>
+        val base = "\"" + escape(t.objValue) + "\""
+        if (t.objLang.nonEmpty) base + "@" + t.objLang
+        else if (t.objDatatype.nonEmpty && t.objDatatype != ToRdf.XsdString) base + "^^<" + t.objDatatype + ">"
+        else base
+      case _ => term(t.objValue)
+    }
+    val g = if (t.graph.isEmpty) "" else " " + term(t.graph)
+    s"${term(t.subj)} <${t.pred}> $obj$g ."
+  }
+
+  def toCanonicalNQuads(triples: Vector[Triple]): String =
+    canonicalize(triples).map(toNQuad).distinct.sorted.mkString("\n")
+
+  /** Minimal N-Quads parser for test fixtures (full Turtle escapes not needed). */
+  def parseNQuads(text: String): Vector[Triple] = {
+    val TripleRe =
+      """^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?)\s*(<[^>]*>|_:\S+)?\s*\.\s*$""".r
+    def unescape(s: String): String =
+      s.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r").replace("\\\"", "\"").replace("\\\\", "\\")
+    text.linesIterator.filter(l => l.trim.nonEmpty && !l.trim.startsWith("#")).map { line =>
+      line match {
+        case TripleRe(s, p, o, g) =>
+          val subj = if (s.startsWith("<")) s.substring(1, s.length - 1) else s
+          val graph = Option(g).map(x => if (x.startsWith("<")) x.substring(1, x.length - 1) else x).getOrElse("")
+          if (o.startsWith("\"")) {
+            val closeQ = {
+              var i = 1; var found = -1
+              while (found < 0 && i < o.length) {
+                if (o.charAt(i) == '\\') i += 2
+                else if (o.charAt(i) == '"') found = i
+                else i += 1
+              }
+              found
+            }
+            val lex = unescape(o.substring(1, closeQ))
+            val rest = o.substring(closeQ + 1)
+            if (rest.startsWith("@")) Triple(subj, p, "literal", lex, ToRdf.LangString, rest.substring(1), graph)
+            else if (rest.startsWith("^^<")) Triple(subj, p, "literal", lex, rest.substring(3, rest.length - 1), "", graph)
+            else Triple(subj, p, "literal", lex, ToRdf.XsdString, "", graph)
+          } else if (o.startsWith("_:")) Triple(subj, p, "bnode", o, "", "", graph)
+          else Triple(subj, p, "iri", o.substring(1, o.length - 1), "", "", graph)
+        case _ => throw new IllegalArgumentException(s"cannot parse N-Quad line: $line")
+      }
+    }.toVector
+  }
+}

@@ -1,0 +1,149 @@
+package graft.core
+
+import graft.json._
+import ErrorCode._
+import Util._
+import scala.collection.mutable
+
+sealed trait JsonLdInput
+object JsonLdInput {
+  final case class Doc(json: JsonValue) extends JsonLdInput
+  final case class Ref(iri: String) extends JsonLdInput
+  final case class Remote(doc: RemoteDocument) extends JsonLdInput
+}
+
+/** Public API — expand/compact drivers, port of /root/reference/src/lib.rs:270-468. */
+object JsonLdApi {
+
+  private def parseBase(iri: String): Url =
+    Url.parse(iri).getOrElse(throw JsonLdError(InvalidBaseIRI, s"cannot parse $iri"))
+
+  /** expand (/root/reference/src/lib.rs:368-468). Returns the expanded array. */
+  def expand(input0: JsonLdInput, options: JsonLdOptions, loader: DocumentLoader = DocumentLoader.empty): JArr =
+    expandWithState(input0, new ApiState(options, loader))
+
+  private[core] def expandWithState(input0: JsonLdInput, state: ApiState): JArr = {
+    val options = state.options
+    val input = input0 match {
+      case JsonLdInput.Ref(iri) => JsonLdInput.Remote(state.loader.load(iri))
+      case other => other
+    }
+    var activeContext = new Context(
+      baseIri = (options.base match {
+        case Some(b) => Some(b)
+        case None => input match {
+          case JsonLdInput.Remote(doc) => Some(doc.documentUrl)
+          case _ => None
+        }
+      }).map(parseBase),
+      originalBaseUrl = (input match {
+        case JsonLdInput.Remote(doc) => Some(doc.documentUrl)
+        case _ => options.base
+      }).map(parseBase)
+    )
+    options.expandContext.foreach { expandContext =>
+      val context = expandContext match {
+        case JsonOrRef.Obj(json) =>
+          json.get("@context") match {
+            case Some(inner) => contextsFromJson(inner)
+            case None => Vector(Some(JsonOrRef.Obj(json)))
+          }
+        case JsonOrRef.Ref(iri) => Vector(Some(JsonOrRef.Ref(iri)))
+      }
+      activeContext = ContextProcessor.processContext(activeContext, context,
+        activeContext.originalBaseUrl, state, mutable.Set(),
+        overrideProtected = false, propagate0 = true, validateScoped0 = true)
+    }
+    val expandedOutput = input match {
+      case JsonLdInput.Remote(document) =>
+        document.contextUrl.foreach { contextUrl =>
+          activeContext = ContextProcessor.processContext(activeContext,
+            Vector(Some(JsonOrRef.Ref(contextUrl))),
+            Some(parseBase(contextUrl)), state, mutable.Set(),
+            overrideProtected = false, propagate0 = true, validateScoped0 = true)
+        }
+        val documentUrl = parseBase(document.documentUrl)
+        Expansion.expandInternal(activeContext, None, document.document, Some(documentUrl), state, fromMap = false)
+      case JsonLdInput.Doc(json) =>
+        val documentUrl = options.base.map(parseBase)
+        json match {
+          case obj: JObj => Expansion.expandObject(activeContext, None, obj, documentUrl, state, fromMap = false)
+          case other => Expansion.expandInternal(activeContext, None, other, documentUrl, state, fromMap = false)
+        }
+      case JsonLdInput.Ref(_) => throw new IllegalStateException("unreachable")
+    }
+    // output normalization (/root/reference/src/lib.rs:455-467)
+    expandedOutput match {
+      case obj: JObj if obj.size == 1 && obj.contains("@graph") =>
+        obj.removeKey("@graph").get match {
+          case a: JArr => a
+          case JNull => new JArr()
+          case other => JArr(other)
+        }
+      case a: JArr => a
+      case JNull => new JArr()
+      case other => JArr(other)
+    }
+  }
+
+  /** compact (/root/reference/src/lib.rs:270-366). */
+  def compact(
+      input0: JsonLdInput,
+      ctx: Option[JsonValue],
+      options: JsonLdOptions,
+      loader: DocumentLoader = DocumentLoader.empty
+  ): JObj = {
+    val state = new ApiState(options, loader)
+    val input = input0 match {
+      case JsonLdInput.Ref(iri) => JsonLdInput.Remote(state.loader.load(iri))
+      case other => other
+    }
+    val expandedInput = expandWithState(input, state.withOptions(options.copy(ordered = false)))
+    val contextBase: Option[Url] = input match {
+      case JsonLdInput.Remote(doc) => Some(parseBase(doc.documentUrl))
+      case _ => options.base.map(parseBase)
+    }
+    // If context is a map having an @context entry, use that entry's value
+    val context: Vector[Option[JsonOrRef]] = ctx match {
+      case None => Vector(None)
+      case Some(c) =>
+        val contexts = contextsFromJson(c, allowNull = false).map(_.get)
+        if (contexts.size == 1) contexts.head match {
+          case JsonOrRef.Obj(json) =>
+            json.get("@context") match {
+              case Some(inner) => contextsFromJson(inner)
+              case None => Vector(Some(JsonOrRef.Obj(json)))
+            }
+          case r: JsonOrRef.Ref => Vector(Some(r))
+        }
+        else contexts.map(Some(_))
+    }
+    val activeContext = ContextProcessor.processContext(Context.default(), context, contextBase,
+      state, mutable.Set(), overrideProtected = false, propagate0 = true, validateScoped0 = true)
+    if (activeContext.baseIri.isEmpty)
+      activeContext.baseIri = options.base.map(parseBase)
+        .orElse(if (options.compactToRelative) contextBase else None)
+    val compactedOutput0 = Compaction.compactInternal(activeContext, None, expandedInput, state)
+    val compactedOutput = compactedOutput0 match {
+      case o: JObj => o
+      case a: JArr =>
+        if (a.isEmpty) new JObj()
+        else JObj(Compaction.compactIri(activeContext, "@graph", options, None, vocab = true, reverse = false) -> a)
+      case _ => throw new IllegalStateException("unreachable compact output")
+    }
+    val nonTrivial = context.exists {
+      case Some(JsonOrRef.Obj(json)) => json.nonEmpty
+      case Some(JsonOrRef.Ref(_)) => true
+      case None => false
+    }
+    if (nonTrivial) {
+      val ctxArr = JArr.from(context.map[JsonValue] {
+        case Some(JsonOrRef.Obj(json)) => json
+        case Some(JsonOrRef.Ref(iri)) => JStr(iri)
+        case None => JNull
+      })
+      compactedOutput.put("@context", if (ctxArr.size == 1) ctxArr(0) else ctxArr)
+    }
+    compactedOutput
+  }
+}

@@ -1,0 +1,118 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Runs the vendored W3C-style fixture corpus (FIXTURES.md §2):
+  *   src/test/resources/w3c/expand/<id>-{in,out}.jsonld [-options.json | -error.txt]
+  *   src/test/resources/w3c/toRdf/<id>-{in.jsonld,out.nq}
+  *   src/test/resources/w3c/contexts/<host>/<path>  (vendored remote docs)
+  * Expand comparisons use the ported json_ld_eq
+  * (/root/reference/tests/util/mod.rs:6-41); toRdf comparisons are
+  * set-equality on canonicalized triples.
+  */
+class W3CSuiteSpec extends AnyFunSuite {
+  private val root = Paths.get("src/test/resources/w3c")
+
+  private def readFile(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
+
+  /** Vendored remote documents: contexts/<name>.jsonld served as
+    * http://example.org/ctx/<name>.jsonld
+    */
+  lazy val loader: DocumentLoader = {
+    val dir = root.resolve("contexts")
+    val docs: Map[String, String] =
+      if (Files.isDirectory(dir))
+        Files.list(dir).iterator.asScala.filter(_.toString.endsWith(".jsonld")).map { p =>
+          s"http://example.org/ctx/${p.getFileName}" -> readFile(p)
+        }.toMap
+      else Map.empty
+    new DocumentLoader.MapLoader(docs)
+  }
+
+  private def listCases(dir: Path): Vector[String] =
+    if (!Files.isDirectory(dir)) Vector.empty
+    else Files.list(dir).iterator.asScala.map(_.getFileName.toString)
+      .filter(_.endsWith("-in.jsonld")).map(_.stripSuffix("-in.jsonld")).toVector.sorted
+
+  private def optionsFor(dir: Path, id: String, defaultBase: String): JsonLdOptions = {
+    val p = dir.resolve(s"$id-options.json")
+    var opts = JsonLdOptions(base = Some(defaultBase))
+    if (Files.exists(p)) {
+      val o = JsonParser.parse(readFile(p)).asObj.get
+      o.get("base").foreach(b => opts = opts.copy(base = b.asString))
+      o.get("processingMode").foreach(m =>
+        opts = opts.copy(processingMode =
+          if (m.asString.contains("json-ld-1.0")) ProcessingMode.JsonLd10 else ProcessingMode.JsonLd11))
+      o.get("ordered").foreach(x => opts = opts.copy(ordered = x.asBool.get))
+      o.get("rdfDirection").foreach(x => opts = opts.copy(rdfDirection = x.asString))
+      o.get("produceGeneralizedRdf").foreach(x => opts = opts.copy(produceGeneralizedRdf = x.asBool.get))
+      o.get("compactArrays").foreach(x => opts = opts.copy(compactArrays = x.asBool.get))
+      o.get("expandContext").foreach {
+        case JStr(iri) => opts = opts.copy(expandContext = Some(JsonOrRef.Ref(iri)))
+        case obj: JObj => opts = opts.copy(expandContext = Some(JsonOrRef.Obj(obj)))
+        case _ =>
+      }
+    }
+    opts
+  }
+
+  // ---- expand ----
+  private val expandDir = root.resolve("expand")
+  for (id <- listCases(expandDir)) {
+    val errFile = expandDir.resolve(s"$id-error.txt")
+    if (Files.exists(errFile)) {
+      test(s"expand/$id (negative)") {
+        val input = JsonParser.parse(readFile(expandDir.resolve(s"$id-in.jsonld")))
+        val opts = optionsFor(expandDir, id, s"http://example.org/t/$id-in.jsonld")
+        val expected = readFile(errFile).trim
+        val err = intercept[JsonLdError] {
+          JsonLdApi.expand(JsonLdInput.Doc(input), opts, loader)
+        }
+        assert(err.code.rendered == expected, s"got: ${err.render}")
+      }
+    } else {
+      test(s"expand/$id") {
+        val input = JsonParser.parse(readFile(expandDir.resolve(s"$id-in.jsonld")))
+        val opts = optionsFor(expandDir, id, s"http://example.org/t/$id-in.jsonld")
+        val expected = JsonParser.parse(readFile(expandDir.resolve(s"$id-out.jsonld")))
+        val actual = JsonLdApi.expand(JsonLdInput.Doc(input), opts, loader)
+        assert(JsonEq.jsonLdEq(actual, expected, ordered = opts.ordered),
+          s"\nexpected: ${JsonWriter.write(expected)}\nactual:   ${JsonWriter.write(actual)}")
+      }
+    }
+  }
+
+  // ---- toRdf ----
+  private val toRdfDir = root.resolve("toRdf")
+  for (id <- listCases(toRdfDir)) {
+    test(s"toRdf/$id") {
+      val input = JsonParser.parse(readFile(toRdfDir.resolve(s"$id-in.jsonld")))
+      val opts = optionsFor(toRdfDir, id, s"http://example.org/t/$id-in.jsonld")
+      val expected = BnodeCanon.parseNQuads(readFile(toRdfDir.resolve(s"$id-out.nq")))
+      val expanded = JsonLdApi.expand(JsonLdInput.Doc(input), opts, loader)
+      val actual = ToRdf.toRdf(expanded, opts)
+      val actualC = BnodeCanon.toCanonicalNQuads(actual)
+      val expectedC = BnodeCanon.toCanonicalNQuads(expected)
+      assert(actualC == expectedC, s"\nexpected:\n$expectedC\nactual:\n$actualC")
+    }
+  }
+
+  // ---- compact ----
+  // compact/<id>-{in,context,out}.jsonld : expand(in) then compact with context
+  private val compactDir = root.resolve("compact")
+  for (id <- listCases(compactDir)) {
+    test(s"compact/$id") {
+      val input = JsonParser.parse(readFile(compactDir.resolve(s"$id-in.jsonld")))
+      val ctx = JsonParser.parse(readFile(compactDir.resolve(s"$id-context.jsonld")))
+      val opts = optionsFor(compactDir, id, s"http://example.org/t/$id-in.jsonld")
+      val expected = JsonParser.parse(readFile(compactDir.resolve(s"$id-out.jsonld")))
+      val actual = JsonLdApi.compact(
+        JsonLdInput.Doc(input), Some(ctx), opts, loader)
+      assert(JsonEq.jsonLdEq(actual, expected, ordered = false),
+        s"\nexpected: ${JsonWriter.write(expected)}\nactual:   ${JsonWriter.write(actual)}")
+    }
+  }
+}
