@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor over an embedding column (array<float>).
+  *
+  *  - bruteForceTopK: the exactness baseline. The query set is broadcast
+  *    (small side), the corpus side streams — one pass, no shuffle of the
+  *    corpus, a window top-k per query on the scored result.
+  *  - lshCandidates / lshTopK: the scale path. Random-hyperplane signature
+  *    (deterministic seeded planes) buckets the corpus; candidates meet only
+  *    inside buckets, so the join is equi-keyed and AQE-friendly. Recall is
+  *    tuned by `planes` (fewer planes = bigger buckets = higher recall).
+  */
+object SimilarityOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12d))
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim i weight =
+    * hash-derived value in [-1,1]. Computed as a Column program against the
+    * vector — no driver-side matrix needed (works at any dimension).
+    */
+  private def planeSign(vec: Column, p: Int): Column = {
+    // sum_i vec[i] * w(p, i), w in [-1,1] from xxhash64(p, i)
+    val weighted = zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+      i => (xxhash64(lit(p), i).cast("double") / lit(9.223372036854776e18d))),
+      (v, w) => v * w)
+    when(aggregate(weighted, lit(0.0d), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  def lshSignature(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map(p => shiftleft(planeSign(vec, p).cast("long"), p))
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Self-join candidates within identical LSH buckets. */
+  def lshCandidates(embeddings: DataFrame, idCol: String, vecCol: String, planes: Int = 12): DataFrame = {
+    val sig = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), planes).as("bucket"))
+    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+  }
+
+  /** Exact brute-force cosine top-k for `queries` against `corpus`.
+    * `queries` is expected to be small → broadcast; corpus streams.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val scored = c.join(q, col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(cosine(col("query_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
+  /** ANN top-k via LSH buckets (approximate; same output shape as brute force). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+      lshSignature(col(vecCol), planes).as("bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      lshSignature(col(vecCol), planes).as("bucket")))
+    val scored = c.join(q, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(cosine(col("query_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** URDNA2015-style blank-node labeling expressed as iterative DataFrame
+  * joins (north_rule): the distributed formulation of
+  * graft.core.BnodeCanon for corpora where blank nodes span rows.
+  *
+  * Shape per round (hash refinement / color refinement):
+  *   edges ⋈ hashes(on subj bnode) ⋈ hashes(on obj bnode) →
+  *   groupBy(node) over sort_array(collect_list(signature)) → sha2.
+  * All joins are equi-joins on the bnode key — well-distributed (bnode ids
+  * are hashes), so no salting needed here; AQE handles residual skew. Only
+  * the bnode-adjacent subgraph participates: the first `filter` keeps the
+  * shuffled volume proportional to bnode density, not corpus size.
+  *
+  * The fixpoint is driver-orchestrated (Catalyst has no iteration); each
+  * round is checkpoint-friendly (localCheckpoint) to cut lineage — the
+  * ICDE-2016 iterative-dataflow pattern (PAPERS.md).
+  */
+object Canonicalize {
+
+  /** Relabel `_:` ids in `triples`. `scoped` = true keys bnodes by
+    * (doc_id, label) — doc-local bnode spaces; false = one global space.
+    */
+  def global(triples: Dataset[TripleRow], rounds: Int = 3, scoped: Boolean = true): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val t = triples.toDF()
+    val scopeCol = if (scoped) col("doc_id") else lit("")
+
+    val withKeys = t
+      .withColumn("subj_key", when(col("subj").startsWith("_:"), concat(scopeCol, lit("|"), col("subj"))))
+      .withColumn("obj_key", when(col("obj_kind") === "bnode", concat(scopeCol, lit("|"), col("obj_value"))))
+      .withColumn("graph_key", when(col("graph").startsWith("_:"), concat(scopeCol, lit("|"), col("graph"))))
+
+    val bnodeTriples = withKeys.filter(col("subj_key").isNotNull || col("obj_key").isNotNull || col("graph_key").isNotNull)
+    if (bnodeTriples.isEmpty) return t
+
+    // directed incidence list: one row per (bnode, role) occurrence
+    val objSig = concat_ws("", col("obj_kind"), col("obj_value"), col("obj_datatype"), col("obj_lang"))
+    val inc = bnodeTriples.select(
+      explode(array(
+        struct(col("subj_key").as("node"), lit("s").as("role"), col("pred"),
+          when(col("obj_key").isNotNull, lit(null).cast("string")).otherwise(objSig).as("other_lit"),
+          col("obj_key").as("other_node"),
+          when(col("graph_key").isNotNull, lit("_")).otherwise(col("graph")).as("g")),
+        struct(col("obj_key").as("node"), lit("o").as("role"), col("pred"),
+          when(col("subj_key").isNotNull, lit(null).cast("string")).otherwise(col("subj")).as("other_lit"),
+          col("subj_key").as("other_node"),
+          when(col("graph_key").isNotNull, lit("_")).otherwise(col("graph")).as("g")),
+        struct(col("graph_key").as("node"), lit("g").as("role"), col("pred"),
+          lit(null).cast("string").as("other_lit"), lit(null).cast("string").as("other_node"),
+          lit("").as("g"))
+      )).as("e"))
+      .select("e.*")
+      .filter(col("node").isNotNull)
+      .localCheckpoint(false)
+
+    // round 0: first-degree signatures
+    var hashes = inc
+      .withColumn("sig", concat_ws("|", col("role"), col("pred"),
+        coalesce(col("other_lit"), when(col("other_node").isNotNull, lit("_")), lit("")), col("g")))
+      .groupBy("node")
+      .agg(sha2(concat_ws("\n", sort_array(collect_list(col("sig")))), 256).as("h"))
+      .localCheckpoint(false)
+
+    // refinement rounds: include neighbor hashes
+    for (_ <- 1 to rounds) {
+      val withNbr = inc.join(hashes.withColumnRenamed("node", "other_node").withColumnRenamed("h", "nbr_h"),
+        Seq("other_node"), "left")
+      hashes = withNbr
+        .withColumn("sig", concat_ws("|", col("role"), col("pred"),
+          coalesce(col("other_lit"), concat(lit("#"), col("nbr_h")), lit("")), col("g")))
+        .groupBy("node")
+        .agg(sha2(concat_ws("\n", sort_array(collect_list(col("sig")))), 256).as("h"))
+        .localCheckpoint(false)
+    }
+
+    // deterministic tie-break for automorphic nodes + final content label
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("scope"), col("h")).orderBy(col("node"))
+    val labeled = hashes
+      .withColumn("scope", substring_index(col("node"), "|", 1))
+      .withColumn("rank", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("scope"), col("h"))))
+      .withColumn("label", concat(lit("_:c"),
+        substring(sha2(concat_ws("|", col("scope"), col("h"),
+          when(col("n") > 1, col("rank").cast("string")).otherwise(lit(""))), 256), 1, 16)))
+      .select(col("node"), col("label"))
+
+    // relabel via three equi-joins on the bnode key
+    val relabeled = withKeys
+      .join(labeled.withColumnRenamed("node", "subj_key").withColumnRenamed("label", "subj_label"), Seq("subj_key"), "left")
+      .join(labeled.withColumnRenamed("node", "obj_key").withColumnRenamed("label", "obj_label"), Seq("obj_key"), "left")
+      .join(labeled.withColumnRenamed("node", "graph_key").withColumnRenamed("label", "graph_label"), Seq("graph_key"), "left")
+      .select(
+        coalesce(col("subj_label"), col("subj")).as("subj"),
+        col("pred"),
+        col("obj_kind"),
+        coalesce(col("obj_label"), col("obj_value")).as("obj_value"),
+        col("obj_datatype"), col("obj_lang"),
+        coalesce(col("graph_label"), col("graph")).as("graph"),
+        col("doc_id"))
+    relabeled
+  }
+
+  /** Skew-aware per-predicate profile: two-phase (salted partial → final)
+    * aggregation for the rdf:type-style hot predicates (north_rule: skew
+    * handled explicitly — a plain groupBy(pred) sends every rdf:type row to
+    * one reducer; the salt spreads it over `salt` reducers first).
+    */
+  def predicateCounts(triples: Dataset[TripleRow], salt: Int = 32): DataFrame = {
+    val t = triples.toDF()
+    t.groupBy(col("pred"), pmod(xxhash64(col("subj")), lit(salt)).as("salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("pred"))
+      .agg(sum(col("partial")).as("n"))
+  }
+}

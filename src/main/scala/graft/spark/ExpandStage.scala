@@ -1,0 +1,132 @@
+package graft.spark
+
+import graft.core._
+import graft.json._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Per-partition result row: exactly one of triple/error is set. One
+  * mapPartitions pass computes both channels; split downstream.
+  */
+final case class PipeRow(
+    doc_id: String,
+    triple: TripleRow, // null on error rows
+    error: DocError // null on triple rows
+)
+
+/** The per-document engine lifted to Spark: typed `mapPartitions` transform —
+  * one pure JVM expand+toRdf call per jsonld span, partition-local blank-node
+  * canonicalization, mention detection + entity-link scoring against a
+  * broadcast alias dictionary. No shuffle in this stage by design: at 10^12
+  * docs every byte shuffled here would dominate the job (SURVEY.md §3,
+  * "expansion is partition-local by design").
+  */
+object ExpandStage {
+  val Ns = "http://graft.example/ns#"
+  val DocNs = "http://graft.example/doc/"
+
+  /** Deterministic alias dictionary (entity linking is a dictionary scorer —
+    * the deterministic, broadcastable baseline).
+    */
+  val aliasDictionary: Map[String, String] = Map(
+    "spark" -> "http://graft.example/entity/Spark",
+    "graph" -> "http://graft.example/entity/Graph",
+    "knowledge" -> "http://graft.example/entity/Knowledge",
+    "pipeline" -> "http://graft.example/entity/Pipeline",
+    "engine" -> "http://graft.example/entity/Engine"
+  )
+
+  def docIri(docId: String): String = DocNs + docId
+
+  /** Expand one document to triples (pure; also used by ScalaTest directly).
+    * Blank-node labels are canonicalized per document with the doc id as
+    * scope salt — bnodes never cross documents by construction, so this is
+    * exactly the global canonicalization, computed with zero shuffle. The
+    * join-based global formulation (Canonicalize.global) is the fallback for
+    * corpora where bnodes DO cross rows.
+    */
+  def expandDoc(
+      doc: Doc,
+      loader: DocumentLoader,
+      options: JsonLdOptions,
+      aliases: Map[String, String]
+  ): (Vector[TripleRow], Vector[DocError]) = {
+    val triples = Vector.newBuilder[TripleRow]
+    val errors = Vector.newBuilder[DocError]
+    val dIri = docIri(doc.doc_id)
+    val sorted = doc.spans.sortBy(_.offset)
+    // span-order invariant: offsets strictly increasing within a doc
+    if (sorted.map(_.offset).distinct.size != sorted.size)
+      errors += DocError(doc.doc_id, -1, "span-order", "duplicate span offsets")
+
+    val docTriples = Vector.newBuilder[Triple]
+    for (span <- sorted) span.kind match {
+      case "jsonld" =>
+        try {
+          val json = JsonParser.parse(span.text)
+          val opts = options.copy(base = Some(s"$DocNs${doc.doc_id}/span/${span.offset}"))
+          val expanded = JsonLdApi.expand(JsonLdInput.Doc(json), opts, loader)
+          docTriples ++= ToRdf.toRdf(expanded, opts)
+        } catch {
+          case e: JsonLdError =>
+            errors += DocError(doc.doc_id, span.offset, e.code.rendered, e.render)
+          case e: Exception =>
+            errors += DocError(doc.doc_id, span.offset, "loading document failed", String.valueOf(e.getMessage))
+        }
+      case "media" =>
+        if (span.media_ref != null)
+          docTriples += Triple(dIri, Ns + "hasMedia", "iri", span.media_ref, "", "", "")
+      case _ => // text spans feed mention detection below
+    }
+    // mention detection + entity-link scoring (deterministic dictionary scorer)
+    val textTokens = sorted.iterator.filter(s => s.kind == "text" && s.text != null)
+      .flatMap(_.text.toLowerCase.split("[^a-z0-9]+")).toVector
+    if (textTokens.nonEmpty) {
+      val counts = textTokens.groupBy(identity).view.mapValues(_.size)
+      for ((alias, entity) <- aliases; n <- counts.get(alias)) {
+        val score = n.toDouble / textTokens.size
+        docTriples += Triple(dIri, Ns + "mentions", "iri", entity, "", "", "")
+        docTriples += Triple(entity, Ns + "mentionScore", "literal",
+          f"$score%.6f", ToRdf.XSD + "decimal", "", dIri)
+      }
+    }
+    val canon = BnodeCanon.canonicalize(docTriples.result(), scopeSalt = doc.doc_id)
+    triples ++= canon.map(t =>
+      TripleRow(t.subj, t.pred, t.objKind, t.objValue, t.objDatatype, t.objLang, t.graph, doc.doc_id))
+    (triples.result(), errors.result())
+  }
+
+  /** docs → PipeRow stream. One ApiState-equivalent loader per partition so
+    * the remote-context cache amortizes across the partition (the broadcast
+    * map is the reference's FrozenMap writ large).
+    */
+  def run(
+      docs: Dataset[Doc],
+      resolvedContexts: Broadcast[Map[String, String]],
+      options: JsonLdOptions = JsonLdOptions()
+  ): Dataset[PipeRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val aliases = aliasDictionary
+    docs.mapPartitions { it =>
+      val loader = RemoteContextPool.loaderFor(resolvedContexts.value)
+      it.flatMap { doc =>
+        val (ts, es) = expandDoc(doc, loader, options, aliases)
+        ts.iterator.map(t => PipeRow(doc.doc_id, t, null)) ++
+          es.iterator.map(e => PipeRow(doc.doc_id, null, e))
+      }
+    }
+  }
+
+  def triples(rows: Dataset[PipeRow]): Dataset[TripleRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.filter(_.triple != null).map(_.triple)
+  }
+
+  def errors(rows: Dataset[PipeRow]): Dataset[DocError] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.filter(_.error != null).map(_.error)
+  }
+}

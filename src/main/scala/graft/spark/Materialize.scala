@@ -1,0 +1,109 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint-resumable graph materialization with per-bucket lineage +
+  * metrics (north_rule). Storage abstraction: parquet in-sandbox; the same
+  * writes go to Iceberg (`df.writeTo(table).append()`) in production — only
+  * this object touches storage.
+  *
+  * Layout under `outDir`:
+  *   triples/bucket=N/   deduplicated triples of bucket N
+  *   errors/bucket=N/    expansion error channel
+  *   lineage/            one row per completed bucket (status, counts, attempt)
+  *
+  * Resume: completed buckets are read from lineage and skipped (the
+  * coarse-grained equivalent of a `left_anti` on completed doc_ids — bucket
+  * granularity keeps the resume check O(buckets), not O(docs), at 10^12 docs).
+  */
+object Materialize {
+
+  final case class RunReport(buckets: Int, processed: Int, skipped: Int, triples: Long, errors: Long)
+
+  def bucketOf(buckets: Int) = pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
+
+  private def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
+    val p = new java.io.File(s"$outDir/lineage")
+    if (!p.exists()) Set.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(s"$outDir/lineage")
+        .filter(col("status") === "done").select("bucket").as[Int].collect().toSet
+    }
+  }
+
+  private def attemptsSoFar(spark: SparkSession, outDir: String): Map[Int, Int] = {
+    val p = new java.io.File(s"$outDir/lineage")
+    if (!p.exists()) Map.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(s"$outDir/lineage").groupBy("bucket").agg(max("attempt").as("a"))
+        .as[(Int, Int)].collect().toMap
+    }
+  }
+
+  /** Run the full pipeline over `docs`, bucket by bucket. `failAtBucket`
+    * injects a crash (resume test). Within a bucket: expand (partition-local)
+    * → dedup → write; each bucket commit is atomic enough for resume (lineage
+    * row written only after the data write succeeds).
+    */
+  def run(
+      docs: Dataset[Doc],
+      outDir: String,
+      buckets: Int = 8,
+      resume: Boolean = true,
+      failAtBucket: Option[Int] = None
+  ): RunReport = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val done = if (resume) completedBuckets(spark, outDir) else Set.empty[Int]
+    val attempts = attemptsSoFar(spark, outDir)
+    val ctxB = RemoteContextPool.broadcastResolved(spark,
+      docs.select(explode(col("spans")).as("s"))
+        .filter(col("s.kind") === "jsonld" && col("s.text").contains(RemoteContextPool.baseIri))
+        .select(col("s.text")).as[String]
+        .flatMap(t => RemoteContextPool.knownIris.filter(t.contains)))
+
+    val withBucket = docs.withColumn("bucket", bucketOf(buckets)).cache()
+    var totalTriples = 0L
+    var totalErrors = 0L
+    var processed = 0
+    try {
+      for (b <- 0 until buckets if !done.contains(b)) {
+        if (failAtBucket.contains(b)) throw new RuntimeException(s"injected failure at bucket $b")
+        val t0 = System.nanoTime()
+        val bucketDocs = withBucket.filter(col("bucket") === b).drop("bucket").as[Doc]
+        val rows = ExpandStage.run(bucketDocs, ctxB).cache()
+        val triples = ExpandStage.triples(rows)
+          .dropDuplicates("subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang", "graph")
+        val errors = ExpandStage.errors(rows)
+        triples.write.mode(SaveMode.Overwrite).parquet(s"$outDir/triples/bucket=$b")
+        errors.write.mode(SaveMode.Overwrite).parquet(s"$outDir/errors/bucket=$b")
+        val tc = spark.read.parquet(s"$outDir/triples/bucket=$b").count()
+        val ec = spark.read.parquet(s"$outDir/errors/bucket=$b").count()
+        val dc = bucketDocs.count()
+        rows.unpersist()
+        val lineage = Seq(PartitionLineage(b, dc, tc, ec, "done",
+          attempts.getOrElse(b, 0) + 1, (System.nanoTime() - t0) / 1000000)).toDS()
+        lineage.write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
+        totalTriples += tc
+        totalErrors += ec
+        processed += 1
+      }
+    } finally withBucket.unpersist()
+    RunReport(buckets, processed, done.size, totalTriples, totalErrors)
+  }
+
+  /** Cross-bucket global dedup → final graph table. Group keys contain subj —
+    * high cardinality, so the rdf:type hot predicate does NOT skew this
+    * shuffle; AQE coalesces output partitions.
+    */
+  def finalizeGraph(spark: SparkSession, outDir: String): DataFrame = {
+    val all = spark.read.parquet(s"$outDir/triples")
+    val graph = all.groupBy("subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang", "graph")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("support"))
+    graph.write.mode(SaveMode.Overwrite).parquet(s"$outDir/graph")
+    spark.read.parquet(s"$outDir/graph")
+  }
+}

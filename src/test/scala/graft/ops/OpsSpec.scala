@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.spark.SparkTestSession
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away fast"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and walks away fast"), // near dup of 1
+    (4L, "der hund läuft schnell und die katze ist nicht da mit ein"),
+    (5L, "completely different content about spark engines and query plans"),
+    (6L, "zzz qqq xxx")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = DedupOps.exact(docs)
+    val dup = d.filter(col("dup_count") === 2).collect()
+    assert(dup.length == 1 && dup(0).getAs[Long]("keep_id") == 1L)
+    assert(d.count() == 5)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = DedupOps.minhashLsh(docs, threshold = 0.4).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(ids.contains((1L, 3L)) || ids.contains((2L, 3L)))
+    assert(!ids.exists { case (a, b) => Set(a, b).contains(6L) })
+    // exact dup has jaccard 1.0
+    val exact = pairs.find(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) == ((1L, 2L))).get
+    assert(math.abs(exact.getAs[Double]("jaccard") - 1.0) < 1e-9)
+  }
+
+  test("simhash near-dup pairs") {
+    val pairs = DedupOps.simhashPairs(docs, maxHamming = 6).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(ids.contains((1L, 2L))) // identical → hamming 0
+    val h12 = pairs.find(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) == ((1L, 2L))).get
+    assert(h12.getAs[Int]("hamming") == 0)
+  }
+
+  test("text analysis: language id, token counts, quality, fingerprint") {
+    val a = TextOps.analyze(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(a(1L).getAs[String]("lang_id") == "en")
+    assert(a(4L).getAs[String]("lang_id") == "de")
+    assert(a(6L).getAs[String]("lang_id") == "und")
+    assert(a(1L).getAs[Int]("tokens_ws") == 13)
+    assert(a(1L).getAs[Long]("fingerprint") == a(2L).getAs[Long]("fingerprint"))
+    assert(a(1L).getAs[Long]("fingerprint") != a(3L).getAs[Long]("fingerprint"))
+    assert(a(1L).getAs[Double]("quality") > a(6L).getAs[Double]("quality"))
+  }
+
+  test("brute-force cosine top-k and LSH ANN agree on the top neighbor") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.1f)), // close to 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.3f, 0.0f)), // close to 3
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") === 1L)
+    val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 2).collect()
+    assert(bf.head.getAs[Long]("cand_id") == 2L)
+    val ann = SimilarityOps.lshTopK(vecs, queries, "vec_id", "embedding", k = 2, planes = 4).collect()
+    assert(ann.nonEmpty && ann.head.getAs[Long]("cand_id") == 2L)
+  }
+
+  test("embedding near-dup via LSH buckets") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val nd = DedupOps.embeddingNearDup(vecs, threshold = 0.99, planes = 6).collect()
+    assert(nd.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("multimodal plumbing: deterministic stub decode + frame sampling") {
+    val refs = Seq("media://bucket/a1", "media://bucket/b2", "media://bucket/c3").toDS()
+    val media = MultimodalOps.decodeAndFeaturize(refs)
+    assert(media.count() == 3)
+    val row = media.filter(col("media_ref") === "media://bucket/a1").collect()(0)
+    val again = MultimodalOps.decodeAndFeaturize(refs).filter(col("media_ref") === "media://bucket/a1").collect()(0)
+    assert(row.getAs[Int]("width") == again.getAs[Int]("width"))
+    assert(row.getAs[scala.collection.Seq[Float]]("feature").size == 8)
+    val videos = media.filter(col("modality") === "video")
+    if (videos.count() > 0) assert(MultimodalOps.sampleFrames(media).count() > 0)
+  }
+}

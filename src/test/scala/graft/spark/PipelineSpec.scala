@@ -1,0 +1,117 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{JsonLdOptions, Triple, BnodeCanon}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("synthetic generator is deterministic and satisfies the span invariant") {
+    val d1 = SyntheticDocs.generateDoc(7L)
+    val d2 = SyntheticDocs.generateDoc(7L)
+    assert(d1 == d2)
+    assert(d1.spans.map(_.offset) == d1.spans.map(_.offset).sorted)
+    assert(d1.spans.map(_.offset).distinct.size == d1.spans.size)
+  }
+
+  test("expandDoc emits triples for every jsonld/media span family and no errors on the synthetic corpus") {
+    val loader = RemoteContextPool.fullLoader
+    var triples = 0
+    var errors = 0
+    (0L until 200L).foreach { i =>
+      val (ts, es) = ExpandStage.expandDoc(SyntheticDocs.generateDoc(i), loader, JsonLdOptions(), ExpandStage.aliasDictionary)
+      triples += ts.size
+      errors += es.size
+    }
+    assert(errors == 0, s"expansion errors on synthetic corpus: $errors")
+    assert(triples > 500)
+  }
+
+  test("end-to-end: generate → expand → materialize → finalize, with lineage") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val docs = SyntheticDocs.generate(spark, 300, 4)
+    val report = Materialize.run(docs, out, buckets = 4)
+    assert(report.processed == 4 && report.skipped == 0)
+    assert(report.triples > 300)
+    val graph = Materialize.finalizeGraph(spark, out)
+    assert(graph.count() > 0)
+    // rdf:type hot predicate present (skew knob)
+    val preds = Canonicalize.predicateCounts(spark.read.parquet(s"$out/triples").as[TripleRow]).collect()
+    assert(preds.exists(_.getString(0) == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
+    // lineage: one row per bucket, all done
+    val lineage = spark.read.parquet(s"$out/lineage")
+    assert(lineage.filter(col("status") === "done").count() == 4)
+  }
+
+  test("resume skips completed buckets and reaches the same graph") {
+    val out1 = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-full").toString
+    val docs = SyntheticDocs.generate(spark, 200, 4)
+    // crash at bucket 2
+    intercept[RuntimeException] { Materialize.run(docs, out1, buckets = 4, failAtBucket = Some(2)) }
+    val resumed = Materialize.run(docs, out1, buckets = 4)
+    assert(resumed.skipped == 2 && resumed.processed == 2)
+    val full = Materialize.run(docs, out2, buckets = 4)
+    val g1 = Materialize.finalizeGraph(spark, out1).drop("first_doc").orderBy("subj", "pred", "obj_value").collect()
+    val g2 = Materialize.finalizeGraph(spark, out2).drop("first_doc").orderBy("subj", "pred", "obj_value").collect()
+    assert(g1.toSeq == g2.toSeq)
+    // attempts: resumed buckets recorded attempt 1 (first completion)
+    val lineage = spark.read.parquet(s"$out1/lineage")
+    assert(lineage.count() == 4)
+  }
+
+  test("distributed canonicalization (iterative joins) is deterministic, complete, and structure-preserving") {
+    import spark.implicits._
+    def mk(doc: String): Seq[TripleRow] = Seq(
+      TripleRow("_:b0", "http://p/knows", "bnode", "_:b1", "", "", "", doc),
+      TripleRow("_:b1", "http://p/name", "literal", "x", "http://www.w3.org/2001/XMLSchema#string", "", "", doc),
+      TripleRow(s"http://s/$doc", "http://p/root", "bnode", "_:b0", "", "", "", doc))
+    val raw = spark.createDataset(mk("d1") ++ mk("d2"))
+    val out = Canonicalize.global(raw, rounds = 3, scoped = true).as[TripleRow].collect().toVector
+    assert(!out.exists(t => t.subj.startsWith("_:b") || (t.obj_kind == "bnode" && t.obj_value.startsWith("_:b"))))
+    // doc-scoped: same structure in different docs → different labels
+    val d1Labels = out.filter(_.doc_id == "d1").flatMap(t => Seq(t.subj, t.obj_value)).filter(_.startsWith("_:")).toSet
+    val d2Labels = out.filter(_.doc_id == "d2").flatMap(t => Seq(t.subj, t.obj_value)).filter(_.startsWith("_:")).toSet
+    assert(d1Labels.intersect(d2Labels).isEmpty)
+    assert(d1Labels.size == 2 && d2Labels.size == 2)
+    // determinism
+    val out2 = Canonicalize.global(raw, rounds = 3, scoped = true).as[TripleRow].collect().toVector
+    assert(out.sortBy(_.toString) == out2.sortBy(_.toString))
+    // global scope: identical structures merge to identical labels
+    val merged = Canonicalize.global(raw, rounds = 3, scoped = false).as[TripleRow].collect().toVector
+    def anon(s: String) = if (s.startsWith("http://s/")) "S" else s
+    val m1 = merged.filter(_.doc_id == "d1").map(t => (anon(t.subj), t.pred, t.obj_value)).toSet
+    val m2 = merged.filter(_.doc_id == "d2").map(t => (anon(t.subj), t.pred, t.obj_value)).toSet
+    assert(m1 == m2)
+  }
+
+  test("span-sequence invariant: pipeline output preserves (kind,text,media_ref,order) per doc") {
+    import spark.implicits._
+    val docs = SyntheticDocs.generate(spark, 100, 4).cache()
+    // the pipeline never mutates docs; verify the round-trip through parquet
+    val out = java.nio.file.Files.createTempDirectory("graft-inv").toString
+    docs.write.parquet(s"$out/docs")
+    val back = spark.read.parquet(s"$out/docs").as[Doc]
+    val orig = docs.collect().map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset))).toMap
+    val rt = back.collect().map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset))).toMap
+    assert(orig == rt)
+  }
+}
