@@ -1,24 +1,81 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.spark.{ExpandStage, RemoteContextPool, SyntheticDocs}
+
+/** Benchmark entry point (driver contract): one JSON line
+  * {"metric":"total","value":sec,"unit":"sec","queries":{...},"sf":...}
+  * plus extra keys: pipeline triples/sec and the N→4N parallelism scaling
+  * evidence required by BASELINE.md (local[8] vs local[32] on the same
+  * input — the sandbox proxy for N vs 4N executors).
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** One timed pipeline run: expand `n` synthetic docs → count triples.
+    * Returns (seconds, triples).
+    */
+  private def pipelineRun(spark: SparkSession, n: Long, parts: Int): (Double, Long) = {
+    val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
+    val docs = SyntheticDocs.generate(spark, n, parts)
+    val t0 = System.nanoTime()
+    val count = ExpandStage.triples(ExpandStage.run(docs, ctxB)).count()
+    ((System.nanoTime() - t0) / 1e9, count)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = session(cpus)
+
+    val headline = Vector(
+      "q01_agg_pricing", "q03_join_broadcast_topn", "q04_join_multi", "q05_window_first_order",
+      "q12_rollup", "d01_dedup_exact", "d03_text_features", "d04_minhash_lsh", "d05_simhash_pairs",
+      "e01_knn_bruteforce", "e02_ann_lsh", "j01_expand_triples", "j02_graph_pipeline")
+    val all = SparkEntry.queries
+    val results = headline.flatMap { name =>
+      all.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // pipeline throughput at the benchmark parallelism
+    val (tPipe, nTriples) = pipelineRun(spark, 40000, cpus)
+    val triplesPerSec = nTriples / tPipe
     spark.stop()
+
+    // scaling evidence: same job, same input, local[8] vs local[32]
+    def scalingRun(n: Int): Double = {
+      val s = session(n)
+      try {
+        pipelineRun(s, 4000, n) // warmup (JIT + codegen)
+        val (t, _) = pipelineRun(s, 40000, n)
+        t
+      } finally s.stop()
+    }
+    val t8 = scalingRun(8)
+    val t32 = scalingRun(32)
+    val efficiency = (t8 / t32) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = f"${results.map(_._2).sum}%.3f"
+    val pipe = f"""{"docs":40000,"triples":$nTriples,"sec":$tPipe%.3f,"triples_per_sec":$triplesPerSec%.1f}"""
+    val scaling = f"""{"t_local8_sec":$t8%.3f,"t_local32_sec":$t32%.3f,"efficiency_n_to_4n":$efficiency%.3f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipe,"scaling":$scaling}""")
   }
 }

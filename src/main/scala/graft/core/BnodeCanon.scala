@@ -12,9 +12,24 @@ import java.security.MessageDigest
   */
 object BnodeCanon {
 
+  // MessageDigest.getInstance does provider lookups with shared locks —
+  // at 32 executor threads × one call per bnode per round it serializes the
+  // whole stage. One digest per thread, reset between uses.
+  private val digests = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("SHA-256"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
   private def sha256(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
-    d.map(b => f"$b%02x").mkString
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   private def objKey(t: Triple): String = t.objKind + "\u0001" + t.objValue + "\u0001" + t.objDatatype + "\u0001" + t.objLang
@@ -29,34 +44,40 @@ object BnodeCanon {
     val bnodes = collection.mutable.LinkedHashSet[String]()
     triples.foreach { t =>
       if (t.subj.startsWith("_:")) bnodes += t.subj
+      if (t.pred.startsWith("_:")) bnodes += t.pred // generalized RDF
       if (t.objKind == "bnode") bnodes += t.objValue
       if (t.graph.startsWith("_:")) bnodes += t.graph
     }
     if (bnodes.isEmpty) return triples
 
-    // initial hash: local first-degree signature
+    // initial hash: local first-degree signature ("_" masks bnode neighbors)
+    def mask(s: String): String = if (s.startsWith("_:")) "_" else s
     var hashes: Map[String, String] = bnodes.iterator.map { b =>
       val sigs = triples.flatMap { t =>
         val out = collection.mutable.ArrayBuffer[String]()
-        if (t.subj == b) out += s"s|${t.pred}|${if (t.objKind == "bnode") "_" else objKey(t)}|${if (t.graph.startsWith("_:")) "_" else t.graph}"
-        if (t.objKind == "bnode" && t.objValue == b) out += s"o|${t.pred}|${if (t.subj.startsWith("_:")) "_" else t.subj}|${if (t.graph.startsWith("_:")) "_" else t.graph}"
-        if (t.graph == b) out += s"g|${t.pred}"
+        if (t.subj == b) out += s"s|${mask(t.pred)}|${if (t.objKind == "bnode") "_" else objKey(t)}|${mask(t.graph)}"
+        if (t.pred == b) out += s"p|${mask(t.subj)}|${if (t.objKind == "bnode") "_" else objKey(t)}|${mask(t.graph)}"
+        if (t.objKind == "bnode" && t.objValue == b) out += s"o|${mask(t.pred)}|${mask(t.subj)}|${mask(t.graph)}"
+        if (t.graph == b) out += s"g|${mask(t.pred)}"
         out
       }.sorted
       b -> sha256(sigs.mkString("\n"))
     }.toMap
 
-    // refinement: re-hash with neighbor hashes until stable or round cap
+    // refinement: re-hash with neighbor hashes until stable or round cap.
+    // Skip entirely when first-degree signatures already separate every node
+    // (the overwhelmingly common case for document-local bnode graphs).
     var round = 0
-    var changed = true
+    var changed = hashes.values.toSet.size != bnodes.size
     while (changed && round < maxRounds) {
       val next = bnodes.iterator.map { b =>
         val sigs = triples.flatMap { t =>
           val out = collection.mutable.ArrayBuffer[String]()
           def term(s: String): String = if (s.startsWith("_:")) "#" + hashes(s) else s
-          if (t.subj == b) out += s"s|${t.pred}|${if (t.objKind == "bnode") "#" + hashes(t.objValue) else objKey(t)}|${term(t.graph)}"
-          if (t.objKind == "bnode" && t.objValue == b) out += s"o|${t.pred}|${term(t.subj)}|${term(t.graph)}"
-          if (t.graph == b) out += s"g|${t.pred}|${term(t.subj)}"
+          if (t.subj == b) out += s"s|${term(t.pred)}|${if (t.objKind == "bnode") "#" + hashes(t.objValue) else objKey(t)}|${term(t.graph)}"
+          if (t.pred == b) out += s"p|${term(t.subj)}|${if (t.objKind == "bnode") "#" + hashes(t.objValue) else objKey(t)}|${term(t.graph)}"
+          if (t.objKind == "bnode" && t.objValue == b) out += s"o|${term(t.pred)}|${term(t.subj)}|${term(t.graph)}"
+          if (t.graph == b) out += s"g|${term(t.pred)}|${term(t.subj)}"
           out
         }.sorted
         b -> sha256(hashes(b) + "\n" + sigs.mkString("\n"))
@@ -90,6 +111,7 @@ object BnodeCanon {
     triples.map { t =>
       t.copy(
         subj = labels.getOrElse(t.subj, t.subj),
+        pred = labels.getOrElse(t.pred, t.pred),
         objValue = if (t.objKind == "bnode") labels.getOrElse(t.objValue, t.objValue) else t.objValue,
         graph = labels.getOrElse(t.graph, t.graph))
     }
@@ -109,7 +131,7 @@ object BnodeCanon {
       case _ => term(t.objValue)
     }
     val g = if (t.graph.isEmpty) "" else " " + term(t.graph)
-    s"${term(t.subj)} <${t.pred}> $obj$g ."
+    s"${term(t.subj)} ${term(t.pred)} $obj$g ."
   }
 
   def toCanonicalNQuads(triples: Vector[Triple]): String =
@@ -118,13 +140,14 @@ object BnodeCanon {
   /** Minimal N-Quads parser for test fixtures (full Turtle escapes not needed). */
   def parseNQuads(text: String): Vector[Triple] = {
     val TripleRe =
-      """^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?)\s*(<[^>]*>|_:\S+)?\s*\.\s*$""".r
+      """^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>|_:\S+)\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?)\s*(<[^>]*>|_:\S+)?\s*\.\s*$""".r
     def unescape(s: String): String =
       s.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r").replace("\\\"", "\"").replace("\\\\", "\\")
     text.linesIterator.filter(l => l.trim.nonEmpty && !l.trim.startsWith("#")).map { line =>
       line match {
-        case TripleRe(s, p, o, g) =>
+        case TripleRe(s, p0, o, g) =>
           val subj = if (s.startsWith("<")) s.substring(1, s.length - 1) else s
+          val p = if (p0.startsWith("<")) p0.substring(1, p0.length - 1) else p0
           val graph = Option(g).map(x => if (x.startsWith("<")) x.substring(1, x.length - 1) else x).getOrElse("")
           if (o.startsWith("\"")) {
             val closeQ = {

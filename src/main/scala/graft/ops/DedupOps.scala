@@ -56,20 +56,31 @@ object DedupOps {
       threshold: Double = 0.5
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // materialize signatures ONCE: without the checkpoint boundary Catalyst
+    // inlines the 32-hash expression into every band and into both sides of
+    // the candidate self-join, recomputing shingles O(bands × pairs) times
     val sig = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
       minhashSignature(col(textCol), k, numHashes).as("sig"))
-    val banded = sig.select(col("id"), col("txt"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .localCheckpoint(false)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"), col("txt").as("txt_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"), col("txt").as("txt_b"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"), col("txt_a"), col("txt_b")).distinct()
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
     val est = pairs.withColumn("est_jaccard",
       size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), (c: org.apache.spark.sql.Column) => c)).cast("double") / numHashes)
-    est.filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"),
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    // verification joins texts back by id — candidate texts only, never the
+    // full corpus through the band shuffle
+    val txt = sig.select(col("id"), col("txt"))
+    est.join(txt.withColumnRenamed("id", "id_a").withColumnRenamed("txt", "txt_a"), Seq("id_a"))
+      .join(txt.withColumnRenamed("id", "id_b").withColumnRenamed("txt", "txt_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
         round(jaccard(col("txt_a"), col("txt_b"), k), 6).as("jaccard"))
   }
 
@@ -100,7 +111,8 @@ object DedupOps {
     * bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // checkpoint: the 64-bit vote expression must not be inlined per band/pair
+    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")).localCheckpoint(false)
     val banded = sig.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))

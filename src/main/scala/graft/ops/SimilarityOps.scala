@@ -45,6 +45,7 @@ object SimilarityOps {
   def lshCandidates(embeddings: DataFrame, idCol: String, vecCol: String, planes: Int = 12): DataFrame = {
     val sig = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), planes).as("bucket"))
+      .localCheckpoint(false) // signatures computed once, not per join side
     val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
@@ -68,6 +69,7 @@ object SimilarityOps {
       k: Int = 10, planes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
       lshSignature(col(vecCol), planes).as("bucket"))
+      .localCheckpoint(false)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
       lshSignature(col(vecCol), planes).as("bucket")))
     val scored = c.join(q, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))

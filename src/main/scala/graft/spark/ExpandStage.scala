@@ -38,6 +38,8 @@ object ExpandStage {
 
   def docIri(docId: String): String = DocNs + docId
 
+  private val tokenPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   /** Expand one document to triples (pure; also used by ScalaTest directly).
     * Blank-node labels are canonicalized per document with the doc id as
     * scope salt — bnodes never cross documents by construction, so this is
@@ -80,7 +82,7 @@ object ExpandStage {
     }
     // mention detection + entity-link scoring (deterministic dictionary scorer)
     val textTokens = sorted.iterator.filter(s => s.kind == "text" && s.text != null)
-      .flatMap(_.text.toLowerCase.split("[^a-z0-9]+")).toVector
+      .flatMap(s => tokenPattern.split(s.text.toLowerCase)).toVector
     if (textTokens.nonEmpty) {
       val counts = textTokens.groupBy(identity).view.mapValues(_.size)
       for ((alias, entity) <- aliases; n <- counts.get(alias)) {

@@ -1,0 +1,145 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.json._
+
+/** Property-based invariants (SURVEY.md §5 test strategy). Uses raw
+  * ScalaCheck generators with fixed seeds (scalatestplus bridge is not in
+  * the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+  private def forAll[T](gen: Gen[T], n: Int = 60)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  // --- generators ---
+  private val genScalar: Gen[JsonValue] = Gen.oneOf(
+    Gen.const(JNull),
+    Gen.oneOf(true, false).map(JBool(_)),
+    Gen.chooseNum(-1e6, 1e6).map(d => JNum(math.round(d * 100) / 100.0)),
+    Gen.alphaNumStr.map(JStr.apply))
+
+  private def genJson(depth: Int): Gen[JsonValue] =
+    if (depth <= 0) genScalar
+    else Gen.frequency(
+      4 -> genScalar,
+      2 -> Gen.listOfN(3, genJson(depth - 1)).map(xs => JArr.from(xs)),
+      2 -> Gen.listOfN(3, Gen.zip(Gen.identifier, genJson(depth - 1))).map { kvs =>
+        val o = new JObj(); kvs.foreach { case (k, v) => o.put(k, v) }; o
+      })
+
+  private val genDoc: Gen[JObj] = Gen.listOfN(4, Gen.zip(Gen.identifier, genJson(2))).map { kvs =>
+    val o = new JObj()
+    o.put("@context", JObj("@vocab" -> JStr("http://v/")))
+    o.put("@id", JStr("http://subject/"))
+    kvs.foreach { case (k, v) => o.put(k, v) }
+    o
+  }
+
+  test("expansion is idempotent: expand(expand(x)) == expand(x)") {
+    forAll(genDoc) { doc =>
+      val opts = JsonLdOptions(base = Some("http://base/doc"))
+      val once = JsonLdApi.expand(JsonLdInput.Doc(doc), opts)
+      val twice = JsonLdApi.expand(JsonLdInput.Doc(once.deepCopy.asInstanceOf[JArr]), opts)
+      assert(JsonEq.jsonLdEq(once, twice), s"\nonce:  $once\ntwice: $twice")
+    }
+  }
+
+  test("json round-trip: parse(write(x)) jsonLdEq x") {
+    forAll(genJson(3)) { v =>
+      val back = JsonParser.parse(JsonWriter.write(v))
+      assert(JsonEq.jsonLdEq(v, back))
+    }
+  }
+
+  test("addValue accumulates every value exactly once") {
+    forAll(Gen.listOfN(6, genScalar)) { vs =>
+      val o = new JObj()
+      vs.foreach(v => Util.addValue(o, "k", v, asArray = true))
+      val arr = o.get("k").get.asArr.get
+      assert(arr.size == vs.size)
+      assert(arr.toVector == vs.toVector)
+    }
+  }
+
+  test("container parse round-trips the 17 valid container shapes") {
+    val valid = Seq(
+      Seq("@list") -> Container.list,
+      Seq("@set") -> Container.set,
+      Seq("@graph") -> Container.graph,
+      Seq("@graph", "@set") -> Container.setGraph,
+      Seq("@id") -> Container.id,
+      Seq("@index") -> Container.index,
+      Seq("@id", "@set") -> Container.ids,
+      Seq("@index", "@set") -> Container.indexes,
+      Seq("@graph", "@id") -> Container.idGraph,
+      Seq("@graph", "@index") -> Container.indexGraph,
+      Seq("@graph", "@id", "@set") -> Container.idsGraph,
+      Seq("@graph", "@index", "@set") -> Container.indexesGraph,
+      Seq("@language") -> Container.language,
+      Seq("@type") -> Container.typ,
+      Seq("@language", "@set") -> Container.languages,
+      Seq("@type", "@set") -> Container.types)
+    for ((input, expected) <- valid) {
+      assert(Container.parse(input) == expected, input.toString)
+      // order-insensitive
+      assert(Container.parse(input.reverse) == expected, input.reverse.toString)
+    }
+    for (bad <- Seq(Seq("@list", "@set"), Seq("@graph", "@language"), Seq("@foo"), Seq.empty[String], Seq("@id", "@index")))
+      intercept[JsonLdError](Container.parse(bad))
+  }
+
+  test("TermKey ordering: shortest-first then lexicographic (/root/reference/src/lib.rs:126-131)") {
+    forAll(Gen.listOf(Gen.alphaNumStr)) { keys =>
+      val sorted = keys.sorted(TermKeyOrdering)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.length < b.length || (a.length == b.length && a <= b))
+        case _ =>
+      }
+    }
+  }
+
+  test("URL resolution: RFC 3986 §5.4 normal + abnormal examples") {
+    val base = Url.parse("http://a/b/c/d;p?q").get
+    val cases = Seq(
+      "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g", "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g", "?y" -> "http://a/b/c/d;p?y", "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s", "g#s" -> "http://a/b/c/g#s", ";x" -> "http://a/b/c/;x",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/", "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/", "../" -> "http://a/b/", "../g" -> "http://a/b/g",
+      "../.." -> "http://a/", "../../" -> "http://a/", "../../g" -> "http://a/g",
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g", "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g", "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/", "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h", "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y")
+    for ((ref, expected) <- cases)
+      assert(Url.resolve(ref, Some(base)).map(_.serialize).contains(expected), s"ref=$ref")
+  }
+
+  test("isIri matches the url-crate acceptance shape") {
+    assert(Iri.isIri("http://example.com/x"))
+    assert(Iri.isIri("ex:foo")) // any valid scheme parses
+    assert(Iri.isIri("urn:a:b"))
+    assert(!Iri.isIri("foo")) // relative → error
+    assert(!Iri.isIri("_:b0")) // scheme must start with a letter
+    assert(!Iri.isIri("http://")) // special scheme needs a host
+    assert(!Iri.isIri("1http://x/"))
+  }
+
+  test("canonicalization: isomorphic bnode graphs get identical labels, regardless of input label names") {
+    def graph(a: String, b: String) = Vector(
+      Triple(a, "http://p/knows", "bnode", b, "", "", ""),
+      Triple(b, "http://p/knows", "bnode", a, "", "", ""),
+      Triple(a, "http://p/name", "literal", "x", ToRdf.XsdString, "", ""))
+    val g1 = BnodeCanon.canonicalize(graph("_:alpha", "_:beta"))
+    val g2 = BnodeCanon.canonicalize(graph("_:n1", "_:n2"))
+    assert(BnodeCanon.toCanonicalNQuads(g1) == BnodeCanon.toCanonicalNQuads(g2))
+    assert(g1.toSet == g2.toSet)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+import graft.core.JsonLdOptions
+
+/** Physical-plan assertions: the plans we'd want at 100 TB, not just plans
+  * that pass (builder brief: ".explain the plan and iterate").
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the AQE plan so codegen spans are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 pushes the shipdate/discount filters into the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+    // column pruning: scan must not read all 11 lineitem columns
+    assert(!p.contains("l_partkey"), "scan reads pruned column l_partkey")
+  }
+
+  test("q03 small dimension is broadcast, not shuffled") {
+    val p = plan("q03_join_broadcast_topn")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q07 anti join and q08 semi join choose hash joins") {
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+    assert(plan("q08_semi_join").contains("LeftSemi"))
+  }
+
+  test("q01 aggregation is whole-stage codegen'd with partial aggregation") {
+    val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("codegen id"), formatted.take(3000))
+    assert(plan("q01_agg_pricing").contains("partial_"))
+  }
+
+  test("expansion stage has no shuffle (partition-local by design)") {
+    val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
+    val docs = SyntheticDocs.generate(spark, 100, 4)
+    val triples = ExpandStage.triples(ExpandStage.run(docs, ctxB))
+    val p = triples.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "expansion stage shuffles:\n" + p.take(2000))
+  }
+
+  test("expansion error channel captures malformed spans without failing the job") {
+    import spark.implicits._
+    val bad = Doc("doc-bad", Seq(
+      Span("jsonld", "{not json at all", null, 1),
+      Span("jsonld", """{"@context":{"@version":9},"a":"b"}""", null, 2),
+      Span("jsonld", """{"@context":{"@vocab":"http://v/"},"ok":"yes","@id":"http://s/"}""", null, 3)))
+    val (triples, errors) = ExpandStage.expandDoc(bad, RemoteContextPool.fullLoader, JsonLdOptions(), Map.empty)
+    assert(errors.size == 2)
+    assert(errors.exists(_.code == "invalid @version value"))
+    assert(triples.nonEmpty) // the valid span still contributes
+  }
+}
