@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flat
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
 )
+
+// runMain (Verify/Bench) needs the packaged jar on disk for the spark-submit
+// local-cluster scaling runs — package before every run.
+Compile / runMain := (Compile / runMain).dependsOn(Compile / packageBin).evaluated
+Compile / run := (Compile / run).dependsOn(Compile / packageBin).evaluated

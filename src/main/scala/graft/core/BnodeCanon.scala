@@ -88,24 +88,26 @@ object BnodeCanon {
       round += 1
     }
 
-    // deterministic tie-break for hash-identical (automorphic) nodes:
-    // order survivors by (hash, then stable order of first occurrence in the
-    // canonically-sorted triple listing)
-    val sortedTriples = triples.map(t => (t.graph, t.subj, t.pred, objKey(t))).sorted
-    val firstSeen: Map[String, Int] = {
+    val groups = bnodes.toVector.groupBy(hashes)
+    val labels = collection.mutable.Map[String, String]()
+    // deterministic tie-break for hash-identical (automorphic) nodes: order
+    // survivors by stable first occurrence in the canonically-sorted triple
+    // listing. Computed lazily — the common all-singleton case skips the sort.
+    lazy val firstSeen: Map[String, Int] = {
+      val sortedTriples = triples.map(t => (t.graph, t.subj, t.pred, objKey(t))).sorted
       val m = collection.mutable.LinkedHashMap[String, Int]()
       var i = 0
       for ((g, s, _, o) <- sortedTriples; cand <- Seq(s, o.split('\u0001')(1), g))
         if (cand.startsWith("_:") && !m.contains(cand)) { m(cand) = i; i += 1 }
       m.toMap
     }
-    val groups = bnodes.toVector.groupBy(hashes)
-    val labels = collection.mutable.Map[String, String]()
     for ((h, members) <- groups) {
-      val orderedMembers = members.sortBy(m => firstSeen.getOrElse(m, Int.MaxValue))
-      for ((m, i) <- orderedMembers.zipWithIndex) {
-        val suffix = if (members.size == 1) "" else s"-$i"
-        labels(m) = "_:c" + sha256(scopeSalt + "|" + h + suffix).substring(0, 16)
+      if (members.size == 1)
+        labels(members.head) = "_:c" + sha256(scopeSalt + "|" + h).substring(0, 16)
+      else {
+        val orderedMembers = members.sortBy(m => firstSeen.getOrElse(m, Int.MaxValue))
+        for ((m, i) <- orderedMembers.zipWithIndex)
+          labels(m) = "_:c" + sha256(scopeSalt + "|" + h + s"-$i").substring(0, 16)
       }
     }
     triples.map { t =>

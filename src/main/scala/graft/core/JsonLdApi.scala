@@ -22,6 +22,12 @@ object JsonLdApi {
   def expand(input0: JsonLdInput, options: JsonLdOptions, loader: DocumentLoader = DocumentLoader.empty): JArr =
     expandWithState(input0, new ApiState(options, loader))
 
+  /** expand with a caller-managed ApiState — lets a partition-long state
+    * amortize the loaded/processed context caches across documents.
+    */
+  def expand(input0: JsonLdInput, state: ApiState): JArr =
+    expandWithState(input0, state)
+
   private[core] def expandWithState(input0: JsonLdInput, state: ApiState): JArr = {
     val options = state.options
     val input = input0 match {

@@ -151,10 +151,26 @@ final case class LoadedContext(context: JObj, baseUrl: Url)
 final class ApiState(
     val options: JsonLdOptions,
     val loader: DocumentLoader,
-    val loadedContexts: java.util.HashMap[String, LoadedContext] = new java.util.HashMap()
+    val loadedContexts: java.util.HashMap[String, LoadedContext] = new java.util.HashMap(),
+    val processedContexts: ApiState.LruCache = new ApiState.LruCache(4096)
 ) {
-  /** Same cache instance shared (reference MaybeOwned::Borrowed of the FrozenMap,
+  /** Same cache instances shared (reference MaybeOwned::Borrowed of the FrozenMap,
     * /root/reference/src/lib.rs:290, /root/reference/src/expand.rs:69).
     */
-  def withOptions(o: JsonLdOptions): ApiState = new ApiState(o, loader, loadedContexts)
+  def withOptions(o: JsonLdOptions): ApiState = new ApiState(o, loader, loadedContexts, processedContexts)
+}
+
+object ApiState {
+  /** Bounded LRU for processed top-level contexts. Web-scale corpora reuse a
+    * small set of contexts across millions of documents; processing each once
+    * per partition instead of once per span is the single biggest CPU lever
+    * in the pipeline (the reference caches *loaded* remote contexts,
+    * /root/reference/src/lib.rs:254 — this extends the same idea to the
+    * *processed* form, keyed by full value + base so semantics are unchanged).
+    */
+  final class LruCache(maxEntries: Int)
+      extends java.util.LinkedHashMap[String, Context](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Context]): Boolean =
+      size() > maxEntries
+  }
 }

@@ -30,16 +30,43 @@ object DedupOps {
       s => length(s) === k))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over shingle hashes. Computed columnar (no explode → no shuffle):
-    * transform+aggregate inside one projection.
+  // splitmix64 finalizer — cheap per-shingle seeded hash family
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One-pass JVM minhash over character shingles. A Catalyst
+    * `transform`/`array_min` formulation is interpreted (higher-order
+    * functions don't codegen) and gets inlined numHashes× per row — measured
+    * minutes-vs-seconds at 5k docs. One scalar UDF pass per row is the
+    * faster plan here, deliberately.
     */
-  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column = {
-    val sh = shingles(text, k)
-    val hashes = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
+  def minhashSigsJvm(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i + k <= t.length) {
+      var h0 = 1125899906842597L
+      var c = i
+      while (c < i + k) { h0 = 31 * h0 + t.charAt(c); c += 1 }
+      var j = 0
+      while (j < numHashes) {
+        val h = mix64(h0 ^ (j.toLong * 0x9e3779b97f4a7c15L))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
     }
-    array(hashes: _*)
+    mins
+  }
+
+  /** MinHash signature column (delegates to the one-pass JVM kernel). */
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column = {
+    val f = udf((t: String) => if (t == null) Array.fill(numHashes)(Long.MaxValue) else minhashSigsJvm(t, k, numHashes))
+    f(text)
   }
 
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard ≥ threshold.
@@ -53,7 +80,8 @@ object DedupOps {
       k: Int = 5,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Int = 100
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
     // materialize signatures ONCE: without the checkpoint boundary Catalyst
@@ -62,10 +90,17 @@ object DedupOps {
     val sig = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
       minhashSignature(col(textCol), k, numHashes).as("sig"))
       .localCheckpoint(false)
-    val banded = sig.select(col("id"), col("sig"),
+    val banded0 = sig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+    // frequent-bucket skipping: a band bucket holding more than `maxBucket`
+    // docs is non-discriminative (degenerate near-identical corpora would
+    // otherwise turn the self-join into an all-pairs O(n^2) explosion —
+    // the LSH analog of stopword removal)
+    val bucketSizes = banded0.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+    val banded = banded0.join(broadcast(bucketSizes.filter(col("bsz") > maxBucket)),
+      Seq("band", "bucket"), "left_anti").localCheckpoint(false)
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
@@ -92,31 +127,59 @@ object DedupOps {
     inter / greatest(size(array_union(sa, sb)).cast("double"), lit(1.0))
   }
 
-  /** 64-bit SimHash from token hashes: per-bit majority vote, expressed as a
-    * sum over signed bit contributions (pure Column program, codegen'd).
+  /** One-pass JVM SimHash: per-bit majority vote over token hashes (same
+    * interpreted-HOF rationale as minhashSigsJvm).
     */
-  def simhash(text: Column): Column = {
-    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
-    val tokHashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(tokHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+  def simhashJvm(text: String): Long = {
+    if (text == null) return 0L
+    val votes = new Array[Int](64)
+    var start = 0
+    val t = text.toLowerCase
+    val n = t.length
+    var i = 0
+    while (i <= n) {
+      val boundary = i == n || !(t.charAt(i).isLetterOrDigit)
+      if (boundary) {
+        if (i > start) {
+          var h = 1125899906842597L
+          var c = start
+          while (c < i) { h = 31 * h + t.charAt(c); c += 1 }
+          h = mix64(h)
+          var b = 0
+          while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+        }
+        start = i + 1
+      }
+      i += 1
     }
-    bits.reduce((x, y) => x.bitwiseOR(y))
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** 64-bit SimHash column (delegates to the one-pass JVM kernel). */
+  def simhash(text: Column): Column = {
+    val f = udf((t: String) => simhashJvm(t))
+    f(text)
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with 4
     * bands): candidates share one exact 16-bit band, then verified by
     * bit_count(xor).
     */
-  def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
     // checkpoint: the 64-bit vote expression must not be inlined per band/pair
     val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")).localCheckpoint(false)
-    val banded = sig.select(col("id"), col("sh"),
+    val banded0 = sig.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("col", "block").withColumnRenamed("pos", "band")
+    // frequent-bucket skipping (see minhashLsh)
+    val bucketSizes = banded0.groupBy("band", "block").agg(count(lit(1)).as("bsz"))
+    val banded = banded0.join(broadcast(bucketSizes.filter(col("bsz") > maxBucket)),
+      Seq("band", "block"), "left_anti").localCheckpoint(false)
     val a = banded.select(col("band"), col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "block")).filter(col("id_a") < col("id_b"))

@@ -52,7 +52,15 @@ object ExpandStage {
       loader: DocumentLoader,
       options: JsonLdOptions,
       aliases: Map[String, String]
+  ): (Vector[TripleRow], Vector[DocError]) =
+    expandDoc(doc, new ApiState(options, loader), aliases)
+
+  def expandDoc(
+      doc: Doc,
+      partitionState: ApiState,
+      aliases: Map[String, String]
   ): (Vector[TripleRow], Vector[DocError]) = {
+    val options = partitionState.options
     val triples = Vector.newBuilder[TripleRow]
     val errors = Vector.newBuilder[DocError]
     val dIri = docIri(doc.doc_id)
@@ -67,7 +75,8 @@ object ExpandStage {
         try {
           val json = JsonParser.parse(span.text)
           val opts = options.copy(base = Some(s"$DocNs${doc.doc_id}/span/${span.offset}"))
-          val expanded = JsonLdApi.expand(JsonLdInput.Doc(json), opts, loader)
+          // withOptions shares the partition-long loaded/processed context caches
+          val expanded = JsonLdApi.expand(JsonLdInput.Doc(json), partitionState.withOptions(opts))
           docTriples ++= ToRdf.toRdf(expanded, opts)
         } catch {
           case e: JsonLdError =>
@@ -112,8 +121,9 @@ object ExpandStage {
     val aliases = aliasDictionary
     docs.mapPartitions { it =>
       val loader = RemoteContextPool.loaderFor(resolvedContexts.value)
+      val partitionState = new ApiState(options, loader) // caches amortize across the partition
       it.flatMap { doc =>
-        val (ts, es) = expandDoc(doc, loader, options, aliases)
+        val (ts, es) = expandDoc(doc, partitionState, aliases)
         ts.iterator.map(t => PipeRow(doc.doc_id, t, null)) ++
           es.iterator.map(e => PipeRow(doc.doc_id, null, e))
       }

@@ -26,8 +26,9 @@ object StreamingPipeline {
     val aliases = ExpandStage.aliasDictionary
     docs.mapPartitions { it =>
       val loader = RemoteContextPool.loaderFor(resolvedContexts.value)
+      val state = new graft.core.ApiState(options, loader)
       it.flatMap { td =>
-        val (ts, _) = ExpandStage.expandDoc(td.doc, loader, options, aliases)
+        val (ts, _) = ExpandStage.expandDoc(td.doc, state, aliases)
         ts.iterator.map(t => (td.ingest_ts, t))
       }
     }.toDF("ingest_ts", "triple")

@@ -25,7 +25,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
-    val pairs = DedupOps.minhashLsh(docs, threshold = 0.4).collect()
+    val pairs = DedupOps.minhashLsh(docs, bands = 16, threshold = 0.4).collect()
     val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(ids.contains((1L, 2L)))
     assert(ids.contains((1L, 3L)) || ids.contains((2L, 3L)))
