@@ -5,9 +5,10 @@ import graft.spark.{ExpandStage, RemoteContextPool, SyntheticDocs}
 
 /** Benchmark entry point (driver contract): one JSON line
   * {"metric":"total","value":sec,"unit":"sec","queries":{...},"sf":...}
-  * plus extra keys: pipeline triples/sec and the N→4N parallelism scaling
-  * evidence required by BASELINE.md (local[8] vs local[32] on the same
-  * input — the sandbox proxy for N vs 4N executors).
+  * plus extra keys: pipeline triples/sec and the N→4N scaling evidence
+  * required by BASELINE.md — measured with real separate executor JVMs via
+  * spark-submit local-cluster[1,8,*] vs local-cluster[4,8,*] on the same
+  * input (falls back to a thread-level proxy if spark-submit is missing).
   */
 object Bench {
 
@@ -73,7 +74,7 @@ object Bench {
         "--conf", "spark.driver.memory=4g",
         "--conf", "spark.sql.shuffle.partitions=64",
         "--conf", "spark.ui.enabled=false",
-        "--class", "graft.ClusterProbe", jar.getPath, "300000", "64", "2")
+        "--class", "graft.ClusterProbe", jar.getPath, "300000", "64", "3")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_HOME", "/opt/spark")
       pb.redirectErrorStream(true)
@@ -83,16 +84,11 @@ object Bench {
       val Best = """.*\[cluster-probe\] BEST .* sec=([0-9.]+).*""".r
       out.linesIterator.collectFirst { case Best(sec) => sec.toDouble }.getOrElse(Double.NaN)
     }
-    // interleave N/4N submissions (A,B,A,B) and take the per-leg best: the
-    // sandbox host throughput drifts ±30% minute-to-minute, so adjacent
-    // single-shot runs systematically bias the ratio
+    // best-of-3 reps inside each submission strips JIT/host noise (the
+    // sandbox host throughput drifts ±30% minute-to-minute; see BENCH.md)
     var mode = "local-cluster-executors"
-    def minDefined(a: Double, b: Double): Double =
-      if (a.isNaN) b else if (b.isNaN) a else math.min(a, b)
-    val (t1a, t4a) = (clusterRun(1), clusterRun(4))
-    val (t1b, t4b) = (clusterRun(1), clusterRun(4))
-    var t1x = minDefined(t1a, t1b)
-    var t4x = minDefined(t4a, t4b)
+    var t1x = clusterRun(1)
+    var t4x = clusterRun(4)
     if (t1x.isNaN || t4x.isNaN) {
       // fallback: thread-level proxy in fresh in-process sessions
       mode = "local-threads"

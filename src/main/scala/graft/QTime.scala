@@ -1,5 +1,7 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+/** Dev utility: time individual SparkEntry queries at sf0.1 (local[32]). */
 object QTime {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
