@@ -85,7 +85,11 @@ object SparkEntry {
         .limit(20)
     }),
     "q07_anti_join" -> ((s, d) => {
-      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      // customers with no orders before mid-1993 (plain "no orders" is empty
+      // at small scale factors — an anti-join over an empty complement is a
+      // weaker test than one with a real filtered right side)
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < to_timestamp(lit("1993-06-01")))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey").orderBy("c_custkey")
     }),
@@ -223,7 +227,7 @@ object SparkEntry {
     "q06_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
     "q07_anti_join" ->
-      """SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+      """SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1993-06-01') ORDER BY c_custkey""",
     "q08_semi_join" ->
       """SELECT s_suppkey, s_name FROM supplier WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45) ORDER BY s_suppkey""",
     "q09_setops" ->

@@ -51,6 +51,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "expansion stage shuffles:\n" + p.take(2000))
   }
 
+  test("driver contract: entry() returns rows and every query runs at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every declared query must at least execute and return rows at the smoke scale
+    for ((name, fn) <- SparkEntry.queries) {
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows at sf0.001")
+    }
+    // every oracle key must have a matching query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("expansion error channel captures malformed spans without failing the job") {
     import spark.implicits._
     val bad = Doc("doc-bad", Seq(
