@@ -1,0 +1,69 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json._
+
+/** API-level paths not reachable from the fixture harness: Reference inputs
+  * (remote document load), HTTP Link-header contexts (contextUrl), raw-text
+  * documents, and the expandContext-by-reference option
+  * (/root/reference/src/lib.rs:376-454).
+  */
+class ApiSpec extends AnyFunSuite {
+  private val loader = new DocumentLoader.MapLoader(Map(
+    "http://example.org/doc/a.jsonld" ->
+      """{"@context":{"@vocab":"http://v/"},"@id":"rel-id","name":"remote doc"}""",
+    "http://example.org/ctx/link.jsonld" ->
+      """{"@context":{"linked":"http://linked/term"}}"""
+  ))
+
+  test("JsonLdInput.Ref loads the remote document; its URL becomes the base") {
+    val out = JsonLdApi.expand(JsonLdInput.Ref("http://example.org/doc/a.jsonld"), JsonLdOptions(), loader)
+    val node = out(0).asObj.get
+    // @id resolves against the document URL (original_base_url path)
+    assert(node.get("@id").contains(JStr("http://example.org/doc/rel-id")))
+    assert(node.contains("http://v/name"))
+  }
+
+  test("unknown Reference → loading document failed") {
+    val err = intercept[JsonLdError] {
+      JsonLdApi.expand(JsonLdInput.Ref("http://example.org/doc/missing.jsonld"), JsonLdOptions(), loader)
+    }
+    assert(err.code == ErrorCode.LoadingDocumentFailed)
+  }
+
+  test("RemoteDocument contextUrl (HTTP Link header) is applied before expansion") {
+    val doc = RemoteDocument(
+      contentType = "application/json",
+      contextUrl = Some("http://example.org/ctx/link.jsonld"),
+      document = JsonParser.parse("""{"linked":"x"}"""),
+      documentUrl = "http://example.org/doc/plain.json")
+    val out = JsonLdApi.expand(JsonLdInput.Remote(doc), JsonLdOptions(), loader)
+    assert(out(0).asObj.get.contains("http://linked/term"))
+  }
+
+  test("options.base overrides the document URL for base_iri but not original_base_url") {
+    val doc = RemoteDocument("application/ld+json", None,
+      JsonParser.parse("""{"@context":{"@vocab":"http://v/"},"@id":"x","p":"y"}"""),
+      "http://docs.example/d.jsonld")
+    val out = JsonLdApi.expand(JsonLdInput.Remote(doc), JsonLdOptions(base = Some("http://base.example/")), loader)
+    assert(out(0).asObj.get.get("@id").contains(JStr("http://base.example/x")))
+  }
+
+  test("expandContext by reference") {
+    val out = JsonLdApi.expand(JsonLdInput.Doc(JsonParser.parse("""{"linked":"z"}""")),
+      JsonLdOptions(expandContext = Some(JsonOrRef.Ref("http://example.org/ctx/link.jsonld"))), loader)
+    assert(out(0).asObj.get.contains("http://linked/term"))
+  }
+
+  test("compact round-trips its own expansion (expand ∘ compact ≍ expand)") {
+    val docTxt = """{"@context":{"@vocab":"http://v/","items":{"@container":"@list"},"label":{"@container":"@language"}},
+      "@id":"http://s/","items":[1,2],"label":{"en":"hi"},"plain":"v","typed":{"@value":"x","@type":"http://t/"}}"""
+    val opts = JsonLdOptions(base = Some("http://base/doc"))
+    val expanded = JsonLdApi.expand(JsonLdInput.Doc(JsonParser.parse(docTxt)), opts)
+    val ctx = JsonParser.parse("""{"@context":{"@vocab":"http://v/","items":{"@container":"@list"},"label":{"@container":"@language"}}}""")
+    val compacted = JsonLdApi.compact(JsonLdInput.Doc(expanded.deepCopy), Some(ctx), opts)
+    val reexpanded = JsonLdApi.expand(JsonLdInput.Doc(compacted), opts)
+    assert(JsonEq.jsonLdEq(expanded, reexpanded),
+      s"\nexpanded:   $expanded\nreexpanded: $reexpanded")
+  }
+}

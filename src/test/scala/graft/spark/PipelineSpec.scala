@@ -103,6 +103,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
+  test("distributed canonicalization: automorphic bnodes get distinct deterministic labels") {
+    import spark.implicits._
+    // _:a and _:b are structurally indistinguishable (automorphic pair)
+    val raw = spark.createDataset(Seq(
+      TripleRow("http://s/", "http://p/x", "bnode", "_:a", "", "", "", "d1"),
+      TripleRow("http://s/", "http://p/x", "bnode", "_:b", "", "", "", "d1"),
+      TripleRow("_:a", "http://p/q", "literal", "v", "", "", "", "d1"),
+      TripleRow("_:b", "http://p/q", "literal", "v", "", "", "", "d1")))
+    val out1 = Canonicalize.global(raw, rounds = 2, scoped = true).as[TripleRow].collect().toVector
+    val labels = out1.filter(_.obj_kind == "bnode").map(_.obj_value).toSet
+    assert(labels.size == 2, s"automorphic bnodes must stay distinct: $labels")
+    assert(labels.forall(_.startsWith("_:c")))
+    val out2 = Canonicalize.global(raw, rounds = 2, scoped = true).as[TripleRow].collect().toVector
+    assert(out1.sortBy(_.toString) == out2.sortBy(_.toString))
+    // the local canonicalizer also keeps them distinct
+    val local = graft.core.BnodeCanon.canonicalize(Vector(
+      graft.core.Triple("http://s/", "http://p/x", "bnode", "_:a", "", "", ""),
+      graft.core.Triple("http://s/", "http://p/x", "bnode", "_:b", "", "", ""),
+      graft.core.Triple("_:a", "http://p/q", "literal", "v", "", "", ""),
+      graft.core.Triple("_:b", "http://p/q", "literal", "v", "", "", "")), scopeSalt = "d1")
+    assert(local.filter(_.objKind == "bnode").map(_.objValue).toSet.size == 2)
+  }
+
   test("span-sequence invariant: pipeline output preserves (kind,text,media_ref,order) per doc") {
     import spark.implicits._
     val docs = SyntheticDocs.generate(spark, 100, 4).cache()
