@@ -143,6 +143,26 @@ object SparkEntry {
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 3).as("chg"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("chg"), col("sz")).limit(200)
     }),
+    "q16_cube" -> ((s, d) => {
+      t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q17_array_agg" -> ((s, d) => {
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(
+          array_join(transform(array_sort(collect_list(col("o_orderkey"))), x => x.cast("string")), ",")
+            .as("order_keys"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }),
+    "q18_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
+               FROM orders_v
+               GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+               ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""")
+    }),
     // ---- training-data ops over documents/embeddings ----
     "d01_dedup_exact" -> ((s, d) => {
       DedupOps.exact(t(s, d, "documents")).orderBy("keep_id")
@@ -205,6 +225,52 @@ object SparkEntry {
       import s.implicits._
       Canonicalize.predicateCounts(pipelineTriples(s, d)).orderBy(col("n").desc, col("pred"))
     }),
+    "j05_flatten_nodes" -> ((s, d) => {
+      // flatten API (the reference's commented-out stub, lib.rs:470-477)
+      // lifted to the corpus: per-doc flattened node count + named-graph count
+      import s.implicits._
+      val ctxB = s.sparkContext.broadcast(RemoteContextPool.pool)
+      pipelineDocs(s, d).mapPartitions { it =>
+        val loader = RemoteContextPool.loaderFor(ctxB.value)
+        val state = new graft.core.ApiState(graft.core.JsonLdOptions(), loader)
+        it.map { doc =>
+          var nodes = 0L; var graphs = 0L
+          doc.spans.filter(_.kind == "jsonld").sortBy(_.offset).foreach { span =>
+            try {
+              val json = graft.json.JsonParser.parse(span.text)
+              val opts = state.options.copy(base = Some(s"${ExpandStage.DocNs}${doc.doc_id}/span/${span.offset}"))
+              val flat = graft.core.JsonLdApi.flatten(
+                graft.core.JsonLdInput.Doc(json), None, opts, loader).asArr.get
+              nodes += flat.size
+              flat.foreach(n => if (n.asObj.exists(_.contains("@graph"))) graphs += 1)
+            } catch { case _: graft.core.JsonLdError => }
+          }
+          (doc.doc_id, nodes, graphs)
+        }
+      }.toDF("doc_id", "n_nodes", "n_named_graphs")
+        .filter(col("n_nodes") > 0).orderBy("doc_id")
+    }),
+    "j06_rdf_roundtrip" -> ((s, d) => {
+      // fromRdf ∘ toRdf internal-consistency gate per document: triples →
+      // fromRdf (Serialize RDF as JSON-LD) → toRdf → canonical set compare
+      import s.implicits._
+      val ctxB = s.sparkContext.broadcast(RemoteContextPool.pool)
+      pipelineDocs(s, d).mapPartitions { it =>
+        val loader = RemoteContextPool.loaderFor(ctxB.value)
+        val state = new graft.core.ApiState(graft.core.JsonLdOptions(), loader)
+        it.map { doc =>
+          val (rows, _) = ExpandStage.expandDoc(doc, state, ExpandStage.aliasDictionary)
+          val triples = rows.map(r =>
+            graft.core.Triple(r.subj, r.pred, r.obj_kind, r.obj_value, r.obj_datatype, r.obj_lang, r.graph))
+          val back = graft.core.ToRdf.toRdf(
+            graft.core.JsonLdApi.fromRdf(triples), graft.core.JsonLdOptions())
+          val ok = graft.core.BnodeCanon.toCanonicalNQuads(back) ==
+            graft.core.BnodeCanon.toCanonicalNQuads(triples)
+          (doc.doc_id, triples.size.toLong, ok)
+        }
+      }.toDF("doc_id", "n_triples", "roundtrip_ok")
+        .filter(col("roundtrip_ok") && col("n_triples") > 0).orderBy("doc_id")
+    }),
     "m01_media_features" -> ((s, d) => {
       import s.implicits._
       val refs = pipelineDocs(s, d).select(explode(col("spans")).as("s"))
@@ -244,6 +310,12 @@ object SparkEntry {
       """SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) WHERE rn = 1 ORDER BY user_id""",
     "q15_case_math" ->
       """SELECT l_orderkey, l_linenumber, CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS sz, round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 3) AS chg FROM lineitem ORDER BY l_orderkey, l_linenumber, chg, sz LIMIT 200""",
+    "q16_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS rev FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "q17_array_agg" ->
+      """SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1""",
+    "q18_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3""",
     "d01_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY text ORDER BY keep_id""",
     "d02_token_counts" ->

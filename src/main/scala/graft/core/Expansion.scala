@@ -200,7 +200,11 @@ object Expansion {
         }
         if (result.contains("@index")) count += 1
         if (result.size != count) throw JsonLdError(InvalidValueObject)
-        if (!literal) {
+        // frame patterns: under frameExpansion @value may be {} (wildcard)
+        // or an array of scalars (match set) — exempt from value validation
+        val framePattern = state.options.frameExpansion &&
+          (value.asObj.exists(_.isEmpty) || value.asArr.isDefined)
+        if (!literal && !framePattern) {
           if (value.isNull || value.asArr.exists(_.isEmpty)) return JNull
           if (value.asString.isEmpty && result.contains("@language")) throw JsonLdError(InvalidLanguageTaggedValue)
           if (invalidTypedValue) throw JsonLdError(InvalidTypedValue)
@@ -618,6 +622,14 @@ object Expansion {
         }
       case "@nest" =>
         nests.put(key, value.deepCopy)
+      case "@default" | "@embed" | "@explicit" | "@omitDefault" | "@requireAll"
+          if options.frameExpansion =>
+        // W3C Expansion step 13.4.16: framing keywords expand recursively
+        // with frameExpansion off (functionality beyond the reference — its
+        // frame API is stubbed at /root/reference/src/lib.rs:479-481)
+        val expanded = Expansion.expandInternal(activeContext, Some(expandedProperty), value.deepCopy,
+          baseUrl, state.withOptions(options.copy(frameExpansion = false)), fromMap = false)
+        result.put(expandedProperty, expanded)
       case _ => // unknown @-keywords ignored
     }
   }

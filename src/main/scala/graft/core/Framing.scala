@@ -1,0 +1,352 @@
+package graft.core
+
+import graft.json._
+import scala.collection.mutable
+
+/** JSON-LD 1.1 Framing (W3C JSON-LD 1.1 Framing spec §3), the last operation
+  * the reference declares but comments out (/root/reference/src/lib.rs:479-481;
+  * its harness recognizes Frame tests at
+  * /root/reference/tests/util/type_state.rs:35 but skips them). Implemented
+  * from the public W3C algorithm.
+  *
+  * Coverage: wildcard / match-none / @id / @type / value-pattern matching,
+  * @requireAll, @explicit, @embed (@once/@always/@never), @default +
+  * @omitDefault, @reverse framing, @list framing, named-graph recursion via
+  * @graph, blank-node-id pruning, and @preserve/@null cleanup. Framing runs
+  * over the merged node map (the API default; per-graph framing recurses via
+  * @graph entries). Output node order is sorted-by-id (deterministic; the
+  * spec sorts only under `ordered`).
+  */
+object Framing {
+
+  private final case class Flags(embed: String, explicit: Boolean, requireAll: Boolean, omitDefault: Boolean)
+
+  private final class State(
+      val graphMap: mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, JObj]],
+      var graph: String
+  ) {
+    val subjectStack = mutable.ArrayBuffer[String]()
+    val uniqueEmbeds = mutable.Map[String, mutable.Set[String]]()
+  }
+
+  /** Frame an expanded input against an expanded frame; returns the framed
+    * output in expanded form (pre-compaction).
+    */
+  def frame(expandedInput: JArr, expandedFrame: JArr, options: JsonLdOptions): JArr = {
+    val gen = new ToRdf.BnodeGenerator
+    val graphMap = mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, JObj]]()
+    graphMap.getOrElseUpdate("@default", mutable.LinkedHashMap())
+    ToRdf.generateNodeMap(expandedInput, graphMap, gen, "@default", None, None, None)
+
+    // merged graph: union of every graph's nodes (the JsonLdProcessor.frame
+    // default — frameDefault=false)
+    val merged = mutable.LinkedHashMap[String, JObj]()
+    for ((_, g) <- graphMap; (id, node) <- g) {
+      val tgt = merged.getOrElseUpdate(id, JObj("@id" -> JStr(id)))
+      for ((k, v) <- node.iterator if k != "@id") {
+        val existing = tgt.get(k) match {
+          case Some(a: JArr) => a
+          case _ => val a = new JArr(); tgt.put(k, a); a
+        }
+        v.asArr.foreach(_.foreach { item =>
+          if (!existing.iterator.exists(e => JsonEq.jsonLdEq(e, item))) existing.push(item.deepCopy)
+        })
+      }
+    }
+    graphMap.put("@merged", merged)
+
+    val state = new State(graphMap, "@merged")
+    val frameObj = if (expandedFrame.nonEmpty) expandedFrame(0).asObj.getOrElse(new JObj()) else new JObj()
+    val defaults = Flags(
+      embed = getFlagStr(frameObj, "@embed", "@once"),
+      explicit = getFlagBool(frameObj, "@explicit", default = false),
+      requireAll = getFlagBool(frameObj, "@requireAll", default = false),
+      omitDefault = getFlagBool(frameObj, "@omitDefault", default = false))
+    val result = new JArr()
+    matchFrame(state, merged.keys.toVector.sorted, frameObj, result, defaults)
+    pruneBlankNodeIds(result)
+    result
+  }
+
+  /** Post-compaction cleanup: unwrap `@preserve`, turn `"@null"` markers
+    * into JSON null. Mutates and returns `v`.
+    */
+  def cleanup(v: JsonValue): JsonValue = v match {
+    case o: JObj =>
+      o.get("@preserve") match {
+        case Some(p) =>
+          val inner = p match { case a: JArr if a.size == 1 => a(0); case x => x }
+          cleanup(inner)
+        case None =>
+          for (k <- o.keys.toVector) o.put(k, cleanup(o.get(k).get))
+          o
+      }
+    case a: JArr => JArr.from(a.iterator.map(cleanup))
+    case JStr("@null") => JNull
+    case other => other
+  }
+
+  // ---- core recursion ----
+
+  private def matchFrame(
+      state: State,
+      subjects: Vector[String],
+      frame: JObj,
+      parent: JArr,
+      inherited: Flags
+  ): Unit = {
+    val flags = Flags(
+      embed = getFlagStr(frame, "@embed", inherited.embed),
+      explicit = getFlagBool(frame, "@explicit", inherited.explicit),
+      requireAll = getFlagBool(frame, "@requireAll", inherited.requireAll),
+      omitDefault = getFlagBool(frame, "@omitDefault", inherited.omitDefault))
+    val graphNodes = state.graphMap(state.graph)
+    val matches = subjects.filter(id => graphNodes.get(id).exists(n => filterSubject(n, frame, flags)))
+    for (id <- matches) {
+      val node = graphNodes(id)
+      val embeds = state.uniqueEmbeds.getOrElseUpdate(state.graph, mutable.Set())
+      val embedOn = flags.embed match {
+        case "@never" => false
+        case _ if state.subjectStack.contains(id) => false // circular
+        case "@always" => true
+        case _ => !embeds.contains(id) // @once (and legacy values treated as once)
+      }
+      if (!embedOn) {
+        parent.push(JObj("@id" -> JStr(id)))
+      } else {
+        embeds += id
+        state.subjectStack += id
+        val output = JObj("@id" -> JStr(id))
+
+        // named-graph recursion: frame asks for @graph and this id names one
+        if (frame.contains("@graph") && state.graphMap.contains(id)) {
+          val subframe = firstObj(frame.get("@graph")).getOrElse(new JObj())
+          val saved = state.graph
+          state.graph = id
+          val garr = new JArr()
+          output.put("@graph", garr)
+          matchFrame(state, state.graphMap(id).keys.toVector.sorted, subframe, garr, flags)
+          state.graph = saved
+        }
+
+        for ((prop, values) <- node.sortedEntries) {
+          if (prop == "@id") {}
+          else if (prop == "@type") output.put("@type", values.deepCopy)
+          else if (Iri.isKeyword(prop)) output.put(prop, values.deepCopy)
+          else if (flags.explicit && !frame.contains(prop)) {}
+          else {
+            val subframe = firstObj(frame.get(prop))
+            val outArr = output.get(prop) match {
+              case Some(a: JArr) => a
+              case _ => val a = new JArr(); output.put(prop, a); a
+            }
+            values.asArr.foreach(_.foreach { item =>
+              item.asObj match {
+                case Some(io) if io.contains("@list") =>
+                  val listFrame = subframe.flatMap(o => firstObj(o.get("@list")))
+                    .getOrElse(implicitFrame(flags))
+                  val outList = new JArr()
+                  io.get("@list").get.asArr.foreach(_.foreach { li =>
+                    li.asObj.filter(isNodeReference) match {
+                      case Some(lo) =>
+                        val rid = lo.get("@id").get.asString.get
+                        if (state.graphMap(state.graph).contains(rid))
+                          matchFrame(state, Vector(rid), listFrame, outList, flags)
+                        else outList.push(li.deepCopy)
+                      case None => outList.push(li.deepCopy)
+                    }
+                  })
+                  outArr.push(JObj("@list" -> outList))
+                case Some(io) if isNodeReference(io) &&
+                    state.graphMap(state.graph).contains(io.get("@id").get.asString.get) =>
+                  matchFrame(state, Vector(io.get("@id").get.asString.get),
+                    subframe.getOrElse(implicitFrame(flags)), outArr, flags)
+                case _ => outArr.push(item.deepCopy)
+              }
+            })
+            if (outArr.isEmpty) output.removeKey(prop)
+          }
+        }
+
+        // fill @default for frame properties missing on the node
+        for ((prop, pval) <- frame.sortedEntries) {
+          if (!Iri.isKeyword(prop) && !output.contains(prop)) {
+            val propFrame = firstObj(Some(pval)).getOrElse(new JObj())
+            if (!getFlagBool(propFrame, "@omitDefault", flags.omitDefault)) {
+              val preserve: JsonValue = propFrame.get("@default").map(_.deepCopy) match {
+                case Some(a: JArr) => a
+                case Some(x) => JArr(x)
+                case None => JArr(JStr("@null"))
+              }
+              output.put(prop, JArr(JObj("@preserve" -> preserve)))
+            }
+          }
+        }
+
+        // @reverse framing: pull in nodes that reference this one
+        frame.get("@reverse").flatMap(firstAsObjEntries).foreach { revEntries =>
+          for ((revProp, subframeVal) <- revEntries) {
+            val subframe = firstObj(Some(subframeVal)).getOrElse(new JObj())
+            for ((sid, snode) <- graphNodes.toVector.sortBy(_._1)) {
+              val references = snode.get(revProp).flatMap(_.asArr).exists(
+                _.iterator.exists(_.asObj.exists(_.get("@id").contains(JStr(id)))))
+              if (references) {
+                val rev = output.get("@reverse").flatMap(_.asObj).getOrElse {
+                  val o = new JObj(); output.put("@reverse", o); o
+                }
+                val arr = rev.get(revProp) match {
+                  case Some(a: JArr) => a
+                  case _ => val a = new JArr(); rev.put(revProp, a); a
+                }
+                matchFrame(state, Vector(sid), subframe, arr, flags)
+              }
+            }
+          }
+        }
+
+        state.subjectStack.remove(state.subjectStack.size - 1)
+        parent.push(output)
+      }
+    }
+  }
+
+  // ---- frame matching ----
+
+  private def filterSubject(node: JObj, frame: JObj, flags: Flags): Boolean = {
+    var wildcard = true
+    var matchesSome = false
+    for ((key, value) <- frame.iterator) key match {
+      case "@id" =>
+        wildcard = false
+        val ids = asValues(value).flatMap(_.asString)
+        val isWild = asValues(value).isEmpty || asValues(value).forall(_.asObj.exists(_.isEmpty))
+        if (isWild) matchesSome = true
+        else if (node.get("@id").flatMap(_.asString).exists(ids.contains)) matchesSome = true
+        else return false
+      case "@type" =>
+        wildcard = false
+        val nodeTypes = node.get("@type").flatMap(_.asArr).map(_.toVector).getOrElse(Vector.empty)
+        val frameTypes = asValues(value)
+        if (frameTypes.isEmpty) { // match none: node must have no @type
+          if (nodeTypes.nonEmpty) return false else matchesSome = true
+        } else if (frameTypes.size == 1 && frameTypes(0).asObj.exists(_.isEmpty)) { // wildcard
+          if (nodeTypes.isEmpty) return false else matchesSome = true
+        } else if (frameTypes.exists(_.asObj.exists(_.contains("@default")))) {
+          matchesSome = true // a @default @type matches any node
+        } else if (frameTypes.exists(ft => nodeTypes.exists(nt => nt == ft))) {
+          matchesSome = true
+        } else return false
+      case k if Iri.isKeyword(k) => // flags / @graph / @reverse: not match criteria
+      case prop =>
+        wildcard = false
+        val nodeValues = node.get(prop).flatMap(_.asArr).map(_.toVector).getOrElse(Vector.empty)
+        val frameValues = asValues(value)
+        val thisFrame = frameValues.headOption.flatMap(_.asObj)
+        if (frameValues.isEmpty) { // match none: property must be absent
+          if (nodeValues.nonEmpty) return false else matchesSome = true
+        } else if (thisFrame.exists(_.contains("@default"))) {
+          matchesSome = true // default present: property matches regardless
+        } else if (thisFrame.exists(_.contains("@value"))) {
+          if (nodeValues.exists(v => v.asObj.exists(vo => valueMatch(thisFrame.get, vo)))) matchesSome = true
+          else if (flags.requireAll) return false
+        } else {
+          if (nodeValues.nonEmpty) matchesSome = true
+          else if (flags.requireAll) return false
+        }
+    }
+    wildcard || matchesSome
+  }
+
+  /** Value Pattern Matching (Framing spec §2.2): each of @value/@type/
+    * @language is absent (any), wildcard {}, or a set the value must hit.
+    */
+  private def valueMatch(pattern: JObj, value: JObj): Boolean = {
+    def field(o: JObj, k: String): Vector[JsonValue] = o.get(k).map(asValues).getOrElse(Vector.empty)
+    def part(k: String): Boolean = {
+      val pv = field(pattern, k)
+      val vv = value.get(k)
+      if (pv.isEmpty) k != "@value" || vv.isDefined // no constraint (but @value must exist)
+      else if (pv.size == 1 && pv(0).asObj.exists(_.isEmpty)) vv.isDefined // wildcard
+      else if (pv.contains(JStr("@none"))) vv.isEmpty || pv.exists(p => vv.contains(p))
+      else vv.exists(v => pv.exists(p => JsonEq.jsonLdEq(p, v)))
+    }
+    part("@value") && part("@type") && part("@language")
+  }
+
+  // ---- helpers ----
+
+  private def asValues(v: JsonValue): Vector[JsonValue] = v match {
+    case a: JArr => a.toVector
+    case other => Vector(other)
+  }
+
+  private def firstObj(v: Option[JsonValue]): Option[JObj] = v.flatMap {
+    case a: JArr => if (a.nonEmpty) a(0).asObj else None
+    case o: JObj => Some(o)
+    case _ => None
+  }
+
+  private def firstAsObjEntries(v: JsonValue): Option[Vector[(String, JsonValue)]] =
+    (v match {
+      case a: JArr if a.nonEmpty => a(0).asObj
+      case o: JObj => Some(o)
+      case _ => None
+    }).map(_.sortedEntries)
+
+  private def isNodeReference(o: JObj): Boolean = o.size == 1 && o.contains("@id")
+
+  private def implicitFrame(flags: Flags): JObj =
+    JObj("@embed" -> JArr(JStr(flags.embed)))
+
+  private def getFlagStr(frame: JObj, key: String, default: String): String =
+    frame.get(key).map(asValues).flatMap(_.headOption).flatMap {
+      case JStr(s) => Some(s)
+      case o: JObj => o.get("@value").flatMap(_.asString)
+      case _ => None
+    }.map {
+      // legacy embed values normalize per the 1.1 spec
+      case "@first" | "@last" => "@once"
+      case x => x
+    }.getOrElse(default)
+
+  private def getFlagBool(frame: JObj, key: String, default: Boolean): Boolean =
+    frame.get(key).map(asValues).flatMap(_.headOption).flatMap {
+      case JBool(b) => Some(b)
+      case o: JObj => o.get("@value").flatMap(_.asBool)
+      case _ => None
+    }.getOrElse(default)
+
+  /** Remove `@id` from blank nodes whose identifier occurs exactly once in
+    * the framed output (Framing spec: prune blank node identifiers, the 1.1
+    * default).
+    */
+  private def pruneBlankNodeIds(framed: JArr): Unit = {
+    val counts = mutable.Map[String, Int]().withDefaultValue(0)
+    def count(v: JsonValue): Unit = v match {
+      case o: JObj =>
+        o.get("@id").foreach {
+          case JStr(id) if id.startsWith("_:") => counts(id) += 1
+          case _ =>
+        }
+        o.get("@type").foreach(asValues(_).foreach {
+          case JStr(id) if id.startsWith("_:") => counts(id) += 1
+          case _ =>
+        })
+        o.foreach { case (_, cv) => count(cv) }
+      case a: JArr => a.foreach(count)
+      case _ =>
+    }
+    count(framed)
+    def prune(v: JsonValue): Unit = v match {
+      case o: JObj =>
+        o.get("@id") match {
+          case Some(JStr(id)) if id.startsWith("_:") && counts(id) == 1 => o.removeKey("@id")
+          case _ =>
+        }
+        o.foreach { case (_, cv) => prune(cv) }
+      case a: JArr => a.foreach(prune)
+      case _ =>
+    }
+    prune(framed)
+  }
+}

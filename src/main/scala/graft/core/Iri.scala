@@ -56,8 +56,11 @@ final case class Url(
     }
     val (basePath, baseFile) = split(path)
     val (tgtPath, tgtFile) = split(target.path)
-    val baseSegs = collection.mutable.Queue.from(if (basePath.isEmpty) Nil else basePath.split("/", -1).toSeq)
-    val tgtSegs = collection.mutable.Queue.from(if (tgtPath.isEmpty) Nil else tgtPath.split("/", -1).toSeq)
+    // Rust `"".split('/')` yields one empty segment, not zero — the leading
+    // "" segments of both sides must cancel in the common-prefix loop, else
+    // "http://h/a" relative to "http://h/t/f" renders "a" instead of "../a".
+    val baseSegs = collection.mutable.Queue.from(basePath.split("/", -1).toSeq)
+    val tgtSegs = collection.mutable.Queue.from(tgtPath.split("/", -1).toSeq)
     while (baseSegs.nonEmpty && tgtSegs.nonEmpty && baseSegs.head == tgtSegs.head) { baseSegs.dequeue(); tgtSegs.dequeue() }
     val rel = new StringBuilder
     var stop = false

@@ -109,6 +109,86 @@ object JsonLdApi {
       case JsonLdInput.Remote(doc) => Some(parseBase(doc.documentUrl))
       case _ => options.base.map(parseBase)
     }
+    compactExpanded(expandedInput, ctx, contextBase, state)
+  }
+
+  /** flatten (W3C JSON-LD 1.1 API §6.3), filling the stub the reference
+    * comments out (/root/reference/src/lib.rs:470-477): expand, run the
+    * Flattening Algorithm, optionally compact against `ctx` with the same
+    * output shaping as `compact`.
+    */
+  def flatten(
+      input0: JsonLdInput,
+      ctx: Option[JsonValue],
+      options: JsonLdOptions,
+      loader: DocumentLoader = DocumentLoader.empty
+  ): JsonValue = {
+    val state = new ApiState(options, loader)
+    val input = input0 match {
+      case JsonLdInput.Ref(iri) => JsonLdInput.Remote(state.loader.load(iri))
+      case other => other
+    }
+    val expandedInput = expandWithState(input, state.withOptions(options.copy(ordered = false)))
+    val flattened = Flatten.flattenExpanded(expandedInput)
+    ctx match {
+      case None => flattened
+      case Some(_) =>
+        val contextBase: Option[Url] = input match {
+          case JsonLdInput.Remote(doc) => Some(parseBase(doc.documentUrl))
+          case _ => options.base.map(parseBase)
+        }
+        compactExpanded(flattened, ctx, contextBase, state)
+    }
+  }
+
+  /** fromRdf (W3C JSON-LD 1.1 API §8.2 Serialize RDF as JSON-LD), the
+    * reference's sketched-but-stubbed inverse of toRdf
+    * (/root/reference/src/lib.rs:483-489).
+    */
+  def fromRdf(dataset: Vector[Triple], options: JsonLdOptions = JsonLdOptions()): JArr =
+    FromRdf.fromRdf(dataset, options)
+
+  /** frame (W3C JSON-LD 1.1 Framing), the reference's remaining stub
+    * (/root/reference/src/lib.rs:479-481): expand input, expand the frame
+    * with frameExpansion, run the Framing Algorithm, compact against the
+    * frame's own `@context`, then clean up `@preserve`/`@null`.
+    */
+  def frame(
+      input0: JsonLdInput,
+      frameDoc: JsonValue,
+      options: JsonLdOptions,
+      loader: DocumentLoader = DocumentLoader.empty
+  ): JObj = {
+    val state = new ApiState(options, loader)
+    val input = input0 match {
+      case JsonLdInput.Ref(iri) => JsonLdInput.Remote(state.loader.load(iri))
+      case other => other
+    }
+    val expandedInput =
+      expandWithState(input, state.withOptions(options.copy(ordered = false, frameExpansion = false)))
+    val expandedFrame = expandWithState(JsonLdInput.Doc(frameDoc.deepCopy),
+      state.withOptions(options.copy(ordered = false, frameExpansion = true)))
+    val framed = Framing.frame(expandedInput, expandedFrame, options)
+    val contextBase: Option[Url] = input match {
+      case JsonLdInput.Remote(doc) => Some(parseBase(doc.documentUrl))
+      case _ => options.base.map(parseBase)
+    }
+    val ctx: Option[JsonValue] =
+      frameDoc.asObj.flatMap(_.get("@context")).map(c => JObj("@context" -> c.deepCopy))
+    val compacted = compactExpanded(framed, ctx, contextBase, state)
+    Framing.cleanup(compacted).asObj.get
+  }
+
+  /** Shared tail of compact/flatten: compact an already-expanded input
+    * against a supplied context and re-shape per /root/reference/src/lib.rs:305-364.
+    */
+  private def compactExpanded(
+      expandedInput: JArr,
+      ctx: Option[JsonValue],
+      contextBase: Option[Url],
+      state: ApiState
+  ): JObj = {
+    val options = state.options
     // If context is a map having an @context entry, use that entry's value
     val context: Vector[Option[JsonOrRef]] = ctx match {
       case None => Vector(None)

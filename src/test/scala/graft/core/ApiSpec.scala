@@ -55,6 +55,46 @@ class ApiSpec extends AnyFunSuite {
     assert(out(0).asObj.get.contains("http://linked/term"))
   }
 
+  test("toRdf ∘ fromRdf is the identity on every vendored toRdf fixture output") {
+    val dir = java.nio.file.Paths.get("src/test/resources/w3c/toRdf")
+    val cases = java.nio.file.Files.list(dir).iterator()
+    var n = 0
+    cases.forEachRemaining { p =>
+      if (p.toString.endsWith("-out.nq")) {
+        val triples = BnodeCanon.parseNQuads(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        val back = ToRdf.toRdf(JsonLdApi.fromRdf(triples), JsonLdOptions())
+        assert(BnodeCanon.toCanonicalNQuads(back) == BnodeCanon.toCanonicalNQuads(triples),
+          s"round-trip mismatch for $p")
+        n += 1
+      }
+    }
+    assert(n >= 10)
+  }
+
+  test("flatten is idempotent modulo bnode relabeling (flatten ∘ flatten ≍ flatten)") {
+    val docTxt = """{"@context":{"@vocab":"http://v/"},
+      "@id":"http://s/a","nested":{"p":"x","deeper":{"q":"y"}},
+      "g":{"@id":"http://s/g1","@graph":[{"@id":"http://s/b","r":"z"}]}}"""
+    val opts = JsonLdOptions(base = Some("http://base/doc"))
+    val once = JsonLdApi.flatten(JsonLdInput.Doc(JsonParser.parse(docTxt)), None, opts).asArr.get
+    val twice = JsonLdApi.flatten(JsonLdInput.Doc(once.deepCopy), None, opts).asArr.get
+    assert(JsonEq.jsonLdEq(once, twice), s"\nonce:  $once\ntwice: $twice")
+  }
+
+  test("fromRdf named-graph + list + native types integration") {
+    val nq =
+      """<http://e/a> <http://e/p> _:l0 .
+        |_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+        |<http://e/a> <http://e/q> "v" <http://e/g> .
+        |""".stripMargin
+    val out = JsonLdApi.fromRdf(BnodeCanon.parseNQuads(nq), JsonLdOptions(useNativeTypes = true))
+    val byId = out.iterator.map(_.asObj.get).map(o => o.get("@id").flatMap(_.asString).get -> o).toMap
+    val list = byId("http://e/a").get("http://e/p").get.asArr.get(0).asObj.get.get("@list").get.asArr.get
+    assert(list.size == 1 && list(0).asObj.get.get("@value").contains(JNum(7)))
+    assert(byId("http://e/g").get("@graph").get.asArr.get.size == 1)
+  }
+
   test("compact round-trips its own expansion (expand ∘ compact ≍ expand)") {
     val docTxt = """{"@context":{"@vocab":"http://v/","items":{"@container":"@list"},"label":{"@container":"@language"}},
       "@id":"http://s/","items":[1,2],"label":{"en":"hi"},"plain":"v","typed":{"@value":"x","@type":"http://t/"}}"""

@@ -32,10 +32,10 @@ class W3CSuiteSpec extends AnyFunSuite {
     new DocumentLoader.MapLoader(docs)
   }
 
-  private def listCases(dir: Path): Vector[String] =
+  private def listCases(dir: Path, suffix: String = "-in.jsonld"): Vector[String] =
     if (!Files.isDirectory(dir)) Vector.empty
     else Files.list(dir).iterator.asScala.map(_.getFileName.toString)
-      .filter(_.endsWith("-in.jsonld")).map(_.stripSuffix("-in.jsonld")).toVector.sorted
+      .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix)).toVector.sorted
 
   private def optionsFor(dir: Path, id: String, defaultBase: String): JsonLdOptions = {
     val p = dir.resolve(s"$id-options.json")
@@ -49,6 +49,8 @@ class W3CSuiteSpec extends AnyFunSuite {
       o.get("ordered").foreach(x => opts = opts.copy(ordered = x.asBool.get))
       o.get("rdfDirection").foreach(x => opts = opts.copy(rdfDirection = x.asString))
       o.get("produceGeneralizedRdf").foreach(x => opts = opts.copy(produceGeneralizedRdf = x.asBool.get))
+      o.get("useNativeTypes").foreach(x => opts = opts.copy(useNativeTypes = x.asBool.get))
+      o.get("useRdfType").foreach(x => opts = opts.copy(useRdfType = x.asBool.get))
       o.get("compactArrays").foreach(x => opts = opts.copy(compactArrays = x.asBool.get))
       o.get("expandContext").foreach {
         case JStr(iri) => opts = opts.copy(expandContext = Some(JsonOrRef.Ref(iri)))
@@ -97,6 +99,52 @@ class W3CSuiteSpec extends AnyFunSuite {
       val actualC = BnodeCanon.toCanonicalNQuads(actual)
       val expectedC = BnodeCanon.toCanonicalNQuads(expected)
       assert(actualC == expectedC, s"\nexpected:\n$expectedC\nactual:\n$actualC")
+    }
+  }
+
+  // ---- flatten ----
+  // flatten/<id>-{in,out}.jsonld [-context.jsonld] : expand(in), flatten,
+  // optionally compact against the context (same shaping as the compact API)
+  private val flattenDir = root.resolve("flatten")
+  for (id <- listCases(flattenDir)) {
+    test(s"flatten/$id") {
+      val input = JsonParser.parse(readFile(flattenDir.resolve(s"$id-in.jsonld")))
+      val opts = optionsFor(flattenDir, id, s"http://example.org/t/$id-in.jsonld")
+      val ctxFile = flattenDir.resolve(s"$id-context.jsonld")
+      val ctx = if (Files.exists(ctxFile)) Some(JsonParser.parse(readFile(ctxFile))) else None
+      val expected = JsonParser.parse(readFile(flattenDir.resolve(s"$id-out.jsonld")))
+      val actual = JsonLdApi.flatten(JsonLdInput.Doc(input), ctx, opts, loader)
+      assert(JsonEq.jsonLdEq(actual, expected, ordered = false),
+        s"\nexpected: ${JsonWriter.write(expected)}\nactual:   ${JsonWriter.write(actual)}")
+    }
+  }
+
+  // ---- fromRdf ----
+  // fromRdf/<id>-in.nq + <id>-out.jsonld [+ <id>-options.json]
+  private val fromRdfDir = root.resolve("fromRdf")
+  for (id <- listCases(fromRdfDir, suffix = "-in.nq")) {
+    test(s"fromRdf/$id") {
+      val dataset = BnodeCanon.parseNQuads(readFile(fromRdfDir.resolve(s"$id-in.nq")))
+      val opts = optionsFor(fromRdfDir, id, s"http://example.org/t/$id-in.nq")
+      val expected = JsonParser.parse(readFile(fromRdfDir.resolve(s"$id-out.jsonld")))
+      val actual = JsonLdApi.fromRdf(dataset, opts)
+      assert(JsonEq.jsonLdEq(actual, expected, ordered = false),
+        s"\nexpected: ${JsonWriter.write(expected)}\nactual:   ${JsonWriter.write(actual)}")
+    }
+  }
+
+  // ---- frame ----
+  // frame/<id>-{in,frame,out}.jsonld : frame(in, frame) compared with json_ld_eq
+  private val frameDir = root.resolve("frame")
+  for (id <- listCases(frameDir)) {
+    test(s"frame/$id") {
+      val input = JsonParser.parse(readFile(frameDir.resolve(s"$id-in.jsonld")))
+      val frameDoc = JsonParser.parse(readFile(frameDir.resolve(s"$id-frame.jsonld")))
+      val opts = optionsFor(frameDir, id, s"http://example.org/t/$id-in.jsonld")
+      val expected = JsonParser.parse(readFile(frameDir.resolve(s"$id-out.jsonld")))
+      val actual = JsonLdApi.frame(JsonLdInput.Doc(input), frameDoc, opts, loader)
+      assert(JsonEq.jsonLdEq(actual, expected, ordered = false),
+        s"\nexpected: ${JsonWriter.write(expected)}\nactual:   ${JsonWriter.write(actual)}")
     }
   }
 
