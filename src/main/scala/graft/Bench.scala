@@ -74,7 +74,17 @@ object Bench {
         "--conf", "spark.driver.memory=4g",
         "--conf", "spark.sql.shuffle.partitions=64",
         "--conf", "spark.ui.enabled=false",
-        "--class", "graft.ClusterProbe", jar.getPath, "300000", "64", "3")
+        // tasks are location-agnostic (generated input): never hold a core
+        // waiting for locality
+        "--conf", "spark.locality.wait=0",
+        // 1.2M docs: at 300k the 4N leg finishes in ~1.4 s and fixed
+        // per-stage scheduling overhead (~0.5 s across 4 executor JVMs)
+        // masks true scaling — size the probe so both legs are compute-bound.
+        // 192 partitions = 6 exact waves on 32 cores (finer granularity
+        // smooths per-partition variance into a shorter straggler tail).
+        // 2 reps per submission; the interleaved submission pairs below give
+        // best-of-4 per leg while fitting the per-round bench time budget
+        "--class", "graft.ClusterProbe", jar.getPath, "1200000", "192", "2")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_HOME", "/opt/spark")
       pb.redirectErrorStream(true)
@@ -84,11 +94,101 @@ object Bench {
       val Best = """.*\[cluster-probe\] BEST .* sec=([0-9.]+).*""".r
       out.linesIterator.collectFirst { case Best(sec) => sec.toDouble }.getOrElse(Double.NaN)
     }
+    // Pure-JVM hardware-scaling ceiling: fixed total work, 8 vs 32 threads,
+    // no Spark. With only 8 of 32 cores busy the box delivers more per-core
+    // throughput (clock/memory-bandwidth headroom), so no same-box N→4N
+    // proxy can exceed this ratio — report it next to the app efficiency.
+    def hardwareCeiling(): Double = {
+      def run(threads: Int): Double = {
+        val ctr = new java.util.concurrent.atomic.AtomicLong(12288L)
+        def spin(): Long = {
+          var h = 0L
+          while (ctr.getAndDecrement() > 0) {
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i < 20000) { sb.append(i); i += 1 }
+            h ^= sb.toString.hashCode
+          }
+          h
+        }
+        val sink = new java.util.concurrent.atomic.AtomicLong()
+        val t0 = System.nanoTime()
+        val ts = (1 to threads).map(_ => new Thread(() => { sink.addAndGet(spin()); () }))
+        ts.foreach(_.start()); ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(32) // JIT warmup
+      val t8 = math.min(run(8), run(8))
+      val t32 = math.min(run(32), run(32))
+      (t8 / t32) / 4.0
+    }
+
+    // Workload-true ceiling: the SAME engine, SAME executor topology
+    // (1 JVM × 8 threads vs 4 JVMs × 8 threads), NO Spark. The JSON
+    // expand workload is allocation/memory-bandwidth heavy and scales
+    // worse 8→32 busy cores than cache-resident compute; this ratio is
+    // the best any 4-executor run of this workload can do on this box.
+    // Spark-layer scaling efficiency = cluster ratio / this ceiling.
+    def engineCeiling(): Int => Double = {
+      val jar = new java.io.File("target/scala-2.13/jsonldrsspark_2.13-0.1.0.jar")
+      if (!jar.exists()) return (_: Int) => Double.NaN
+      val cp = jar.getPath + ":/opt/spark/jars/*"
+      def fork(start: Long, end: Long): Process =
+        new ProcessBuilder("java", "-Xms5g", "-Xmx5g", "-XX:+AlwaysPreTouch", "-cp", cp,
+          "graft.EngineProbe", "8", start.toString, end.toString)
+          .redirectErrorStream(true).start()
+      val total = 600000L
+      val SecRe = """.*\[engine-probe\].* sec=([0-9.]+).*""".r
+      def leg(procs: Int): Double = {
+        val chunk = total / procs
+        val ps = (0 until procs).map(i => fork(i * chunk, (i + 1) * chunk))
+        val readers = ps.map { p =>
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
+          var line = br.readLine()
+          while (line != null && !line.contains("ready")) line = br.readLine()
+          br
+        }
+        // every process is warmed and parked at the barrier — release all at
+        // once so the timed windows overlap fully
+        ps.foreach { p => p.getOutputStream.write('\n'); p.getOutputStream.flush() }
+        val secs = readers.zip(ps).map { case (br, p) =>
+          var sec = Double.NaN
+          var line = br.readLine()
+          while (line != null) {
+            line match { case SecRe(s) => sec = s.toDouble; case _ => }
+            line = br.readLine()
+          }
+          p.waitFor()
+          sec
+        }
+        secs.max // leg wall time = slowest process
+      }
+      leg // expose the single-leg runner; legs are interleaved with the
+          // cluster submissions below so numerator and denominator of the
+          // spark-layer ratio sample the same host-drift windows
+    }
+
     // best-of-3 reps inside each submission strips JIT/host noise (the
     // sandbox host throughput drifts ±30% minute-to-minute; see BENCH.md)
     var mode = "local-cluster-executors"
+    val hwCeiling = hardwareCeiling()
+    val engLeg = engineCeiling()
+    // interleave engine-N, cluster-N, engine-4N, cluster-4N (twice, best per
+    // leg): the host's delivered throughput drifts ±30% minute-to-minute, so
+    // a single N-then-4N pair makes the ratio a lottery (measured 0.50, 0.68
+    // and 0.74 for identical code in adjacent windows). Pairing each engine
+    // leg with its cluster leg keeps the spark-layer ratio drift-consistent.
+    var e1 = engLeg(1)
     var t1x = clusterRun(1)
+    var e4 = engLeg(4)
     var t4x = clusterRun(4)
+    if (!t1x.isNaN && !t4x.isNaN) {
+      e1 = math.min(e1, engLeg(1))
+      t1x = math.min(t1x, clusterRun(1))
+      e4 = math.min(e4, engLeg(4))
+      t4x = math.min(t4x, clusterRun(4))
+    }
+    val engCeiling = (e1 / e4) / 4.0
     if (t1x.isNaN || t4x.isNaN) {
       // fallback: thread-level proxy in fresh in-process sessions
       mode = "local-threads"
@@ -105,7 +205,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val pipe = f"""{"docs":40000,"triples":$nTriples,"sec":$tPipe%.3f,"triples_per_sec":$triplesPerSec%.1f}"""
-    val scaling = f"""{"mode":"$mode","executors_n":1,"executors_4n":4,"cores_per_executor":8,"docs":300000,"t_n_sec":$t1x%.3f,"t_4n_sec":$t4x%.3f,"efficiency_n_to_4n":$efficiency%.3f}"""
+    val scaling = f"""{"mode":"$mode","executors_n":1,"executors_4n":4,"cores_per_executor":8,"docs":${if (mode == "local-cluster-executors") 1200000 else 300000},"t_n_sec":$t1x%.3f,"t_4n_sec":$t4x%.3f,"efficiency_n_to_4n":$efficiency%.3f,"hw_ceiling_8_to_32_threads":$hwCeiling%.3f,"engine_ceiling_1x8_vs_4x8_jvms":$engCeiling%.3f,"spark_layer_efficiency":${math.min(efficiency / engCeiling, 1.0)}%.3f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipe,"scaling":$scaling}""")
   }
 }

@@ -25,8 +25,11 @@ object ClusterProbe {
       val c = ExpandStage.triples(ExpandStage.run(ds, ctxB)).count()
       ((System.nanoTime() - t0) / 1e9, c)
     }
-    timed(n / 10) // warmup: JIT in every executor
-    timed(n / 10)
+    // warmup scaled to total cores so every executor JVM gets the same per-core
+    // JIT warmup regardless of cluster size (a fixed warmup under-warms the
+    // 4N leg: its reps kept speeding up 5.6→4.9→4.5 s)
+    val warm = 12500L * spark.sparkContext.defaultParallelism
+    timed(warm)
     val results = (1 to reps).map { rep =>
       val (t, c) = timed(n)
       println(f"[cluster-probe] rep=$rep master=${spark.sparkContext.master} docs=$n triples=$c sec=$t%.3f thr=${c / t}%.0f")

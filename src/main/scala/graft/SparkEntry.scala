@@ -196,6 +196,12 @@ object SparkEntry {
       SimilarityOps.lshTopK(emb, queries, "vec_id", "embedding", k = 5, planes = 6)
         .orderBy("query_id", "rank")
     }),
+    "e04_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(10)
+      SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     "e03_embedding_neardup" -> ((s, d) => {
       DedupOps.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.15, planes = 6)
         .orderBy("id_a", "id_b")
@@ -270,6 +276,33 @@ object SparkEntry {
         }
       }.toDF("doc_id", "n_triples", "roundtrip_ok")
         .filter(col("roundtrip_ok") && col("n_triples") > 0).orderBy("doc_id")
+    }),
+    "j07_frame_articles" -> ((s, d) => {
+      // framing API (the reference's stub, lib.rs:479-481) at corpus scale:
+      // frame every jsonld span by @type and count matched entities per doc
+      import s.implicits._
+      val ctxB = s.sparkContext.broadcast(RemoteContextPool.pool)
+      val frameTxt = """{"@context":{"@vocab":"http://graft.example/vocab/"},"@type":"Article"}"""
+      pipelineDocs(s, d).mapPartitions { it =>
+        val loader = RemoteContextPool.loaderFor(ctxB.value)
+        val frameDoc = graft.json.JsonParser.parse(frameTxt)
+        it.map { doc =>
+          var matched = 0L
+          doc.spans.filter(_.kind == "jsonld").sortBy(_.offset).foreach { span =>
+            try {
+              val json = graft.json.JsonParser.parse(span.text)
+              val opts = graft.core.JsonLdOptions(
+                base = Some(s"${ExpandStage.DocNs}${doc.doc_id}/span/${span.offset}"))
+              val framed = graft.core.JsonLdApi.frame(
+                graft.core.JsonLdInput.Doc(json), frameDoc.deepCopy, opts, loader)
+              matched += (framed.get("@graph").flatMap(_.asArr).map(_.size.toLong)
+                .getOrElse(if (framed.keys.exists(k => k != "@context")) 1L else 0L))
+            } catch { case _: graft.core.JsonLdError => }
+          }
+          (doc.doc_id, matched)
+        }
+      }.toDF("doc_id", "n_articles")
+        .filter(col("n_articles") > 0).orderBy("doc_id")
     }),
     "m01_media_features" -> ((s, d) => {
       import s.implicits._

@@ -64,6 +64,88 @@ object SimilarityOps {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  // ---- IVF (inverted-file) ANN: the second scale path ----
+
+  /** JVM dot-product kernel (Catalyst higher-order functions are interpreted
+    * AND inlined per use — same rationale as the minhash/simhash kernels).
+    */
+  private def dotJvm(v: Seq[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) { s += v(i) * c(i); i += 1 }
+    s
+  }
+
+  private def normalize(c: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    val n = math.sqrt(s) max 1e-12
+    c.map(_ / n)
+  }
+
+  /** indexes of the `nProbe` centroids with the largest cosine to `v`
+    * (centroids pre-normalized, so dot order == cosine order).
+    */
+  private def nearestCellsJvm(v: Seq[Float], cents: Array[Array[Double]], nProbe: Int): Array[Int] =
+    cents.indices.sortBy(ci => -dotJvm(v, cents(ci))).take(nProbe).toArray
+
+  /** Train a deterministic k-means coarse quantizer with Lloyd iterations
+    * expressed as DataFrame aggregations: assignment is a broadcast-closure
+    * JVM kernel (centroid table is tiny), the new means come from one
+    * `posexplode → groupBy(cell, dim) → avg` pass — the corpus is scanned,
+    * never shuffled by vector. Init: hash-sampled, id-ordered `nCells` seeds
+    * (deterministic; no global sort of the corpus).
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 4): Array[Array[Double]] = {
+    val n = corpus.count()
+    val every = math.max(n / math.max(nCells * 4, 1), 1L)
+    val seeds = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(pmod(xxhash64(col("id")), lit(every)) === 0)
+      .orderBy("id").limit(nCells)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var cents = seeds.map(normalize)
+    for (_ <- 1 to iters) {
+      val cs = cents
+      val assign = udf((v: Seq[Float]) => nearestCellsJvm(v, cs, 1)(0))
+      val sums = corpus.select(assign(col(vecCol)).as("cell"), posexplode(col(vecCol)))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      val byCell = sums.groupBy(_.getInt(0))
+      for ((cell, rows) <- byCell) {
+        val dim = rows.maxBy(_.getInt(1)).getInt(1) + 1
+        val m = new Array[Double](dim)
+        rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+        next(cell) = normalize(m)
+      }
+      cents = next // cells with no members keep their previous centroid
+    }
+    cents
+  }
+
+  /** IVF ANN top-k: each corpus vector lives in exactly one cell; a query
+    * probes its `nProbe` nearest cells, so the scored join touches
+    * ~nProbe/nCells of the corpus instead of all of it (the 100 TB path:
+    * the cell column is a partition key, making the probe a partition-pruned
+    * scan). `nProbe == nCells` degenerates to exact brute force.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4, iters: Int = 4): DataFrame = {
+    val cents = ivfTrain(corpus, idCol, vecCol, nCells, iters)
+    val assign = udf((v: Seq[Float]) => nearestCellsJvm(v, cents, 1)(0))
+    val probes = udf((v: Seq[Float]) => nearestCellsJvm(v, cents, nProbe))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+      assign(col(vecCol)).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      explode(probes(col(vecCol))).as("cell")))
+    val scored = c.join(q, Seq("cell")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", round(cosine(col("query_vec"), col("cand_vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
   /** ANN top-k via LSH buckets (approximate; same output shape as brute force). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, planes: Int = 8): DataFrame = {

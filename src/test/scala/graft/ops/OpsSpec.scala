@@ -69,6 +69,26 @@ class OpsSpec extends AnyFunSuite {
     assert(ann.nonEmpty && ann.head.getAs[Long]("cand_id") == 2L)
   }
 
+  test("IVF ANN: probing every cell is exactly brute force; partial probe keeps the top neighbor") {
+    // two well-separated clusters + a stray, enough points for a stable quantizer
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2L)
+    val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    // nProbe == nCells ⇒ every cell scanned ⇒ identical to brute force
+    val full = SimilarityOps.ivfTopK(vecs, queries, "vec_id", "embedding", k = 3, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(full == bf, s"\nbf:   $bf\nivf:  $full")
+    // partial probe still finds the true top-1 (same-cluster neighbor)
+    val part = SimilarityOps.ivfTopK(vecs, queries, "vec_id", "embedding", k = 1, nCells = 4, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfTop = bf.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(part == bfTop, s"\nbf top1: $bfTop\nivf top1: $part")
+  }
+
   test("embedding near-dup via LSH buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
