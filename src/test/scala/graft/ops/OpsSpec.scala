@@ -69,6 +69,30 @@ class OpsSpec extends AnyFunSuite {
     assert(ann.nonEmpty && ann.head.getAs[Long]("cand_id") == 2L)
   }
 
+  test("native VecCosine expression matches the interpreted HOF formulation (eval + codegen)") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6) / 6.0f))
+    }.toDF("vec_id", "embedding")
+    val pairs = vecs.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(vecs.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val both = pairs.select(
+      SimilarityOps.cosine(col("va"), col("vb")).as("native"),
+      SimilarityOps.cosineHof(col("va"), col("vb")).as("hof"))
+    val rows = both.collect()
+    assert(rows.length == 50 * 49 / 2)
+    rows.foreach { r =>
+      // HOF zip_with multiplies in float before widening; native accumulates
+      // in double — agreement bound is float-product precision, not 1e-9
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6, s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    // SQL surface (registered through GraftExtensions in SparkTestSession)
+    val viaSql = spark.sql(
+      "SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-9)
+  }
+
   test("IVF ANN: probing every cell is exactly brute force; partial probe keeps the top neighbor") {
     // two well-separated clusters + a stray, enough points for a stable quantizer
     val vecs = (0 until 20).map { i =>
