@@ -45,7 +45,7 @@ object Bench {
     val headline = Vector(
       "q01_agg_pricing", "q03_join_broadcast_topn", "q04_join_multi", "q05_window_first_order",
       "q12_rollup", "d01_dedup_exact", "d03_text_features", "d04_minhash_lsh", "d05_simhash_pairs",
-      "e01_knn_bruteforce", "e02_ann_lsh", "j01_expand_triples", "j02_graph_pipeline")
+      "e01_knn_bruteforce", "e02_ann_lsh", "e04_ann_ivf", "j01_expand_triples", "j02_graph_pipeline")
     val all = SparkEntry.queries
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>

@@ -81,6 +81,12 @@ class ApiSpec extends AnyFunSuite {
     assert(JsonEq.jsonLdEq(once, twice), s"\nonce:  $once\ntwice: $twice")
   }
 
+  test("fromRdf rejects ill-formed rdf:JSON literals with the reference error string") {
+    val nq = """<http://e/a> <http://e/p> "{not json"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> ."""
+    val err = intercept[JsonLdError] { JsonLdApi.fromRdf(BnodeCanon.parseNQuads(nq)) }
+    assert(err.code.rendered == "invalid JSON literal")
+  }
+
   test("fromRdf named-graph + list + native types integration") {
     val nq =
       """<http://e/a> <http://e/p> _:l0 .

@@ -43,6 +43,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q01_agg_pricing").contains("partial_"))
   }
 
+  test("e01 scoring uses the native vec_cosine expression inside whole-stage codegen") {
+    val df = SparkEntry.queries("e01_knn_bruteforce")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("vec_cosine"), "native expression missing from plan:\n" + p.take(2000))
+    assert(!p.contains("aggregate(zip_with"), "interpreted HOF cosine still in plan:\n" + p.take(2000))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("codegen id"), formatted.take(3000))
+  }
+
   test("expansion stage has no shuffle (partition-local by design)") {
     val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
     val docs = SyntheticDocs.generate(spark, 100, 4)
