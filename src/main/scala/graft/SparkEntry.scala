@@ -309,6 +309,19 @@ object SparkEntry {
       val refs = pipelineDocs(s, d).select(explode(col("spans")).as("s"))
         .filter(col("s.kind") === "media").select(col("s.media_ref")).as[String]
       MultimodalOps.decodeAndFeaturize(refs).drop("feature").orderBy("media_ref")
+    }),
+    "m02_media_resize_frames" -> ((s, d) => {
+      // resize + frame-sample plumbing over the decoded media table
+      import s.implicits._
+      val refs = pipelineDocs(s, d).select(explode(col("spans")).as("s"))
+        .filter(col("s.kind") === "media").select(col("s.media_ref")).as[String]
+      val media = MultimodalOps.resize(MultimodalOps.decodeAndFeaturize(refs))
+      val frames = MultimodalOps.sampleFrames(media)
+        .groupBy("media_ref").agg(count(lit(1)).as("n_frames"))
+      media.select("media_ref", "modality", "width", "height", "out_width", "out_height", "scale")
+        .join(frames, Seq("media_ref"), "left")
+        .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
+        .orderBy("media_ref")
     })
   )
 

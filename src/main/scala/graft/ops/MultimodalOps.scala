@@ -71,6 +71,19 @@ object MultimodalOps {
     }.toDF()
   }
 
+  /** Resize plumbing: target dimensions preserving aspect ratio, capped at
+    * `maxDim` on the long edge, never upscaled. The pixel transform itself is
+    * the stub codec's job in production; the part that matters at 100 TB —
+    * the metadata math staying columnar/codegen-friendly and the payload
+    * column staying opaque — is real.
+    */
+  def resize(media: DataFrame, maxDim: Int = 256): DataFrame = {
+    val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(col("width"), col("height")).cast("double"))
+    media.withColumn("scale", round(scale, 6))
+      .withColumn("out_width", greatest(lit(1), round(col("width") * col("scale"), 0).cast("int")))
+      .withColumn("out_height", greatest(lit(1), round(col("height") * col("scale"), 0).cast("int")))
+  }
+
   /** Frame-sampling plumbing for video refs: emits (ref, frame_idx, ts_ms)
     * rows — positions deterministic from duration; decode of the frame is the
     * same stub.

@@ -123,6 +123,22 @@ class OpsSpec extends AnyFunSuite {
     assert(nd.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("multimodal resize preserves aspect ratio, caps the long edge, never upscales") {
+    val refs = spark.createDataset(Seq("media://b/1", "media://b/2", "media://b/3", "media://b/4"))(
+      org.apache.spark.sql.Encoders.STRING)
+    val out = MultimodalOps.resize(MultimodalOps.decodeAndFeaturize(refs), maxDim = 256).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(math.max(ow, oh) <= 256 || math.max(w, h) <= 256) // capped unless already small
+      assert(ow <= w && oh <= h) // never upscaled
+      val inRatio = w.toDouble / h
+      val outRatio = ow.toDouble / oh
+      assert(math.abs(inRatio - outRatio) / inRatio < 0.05, s"aspect drift: $w x $h -> $ow x $oh")
+    }
+  }
+
   test("multimodal plumbing: deterministic stub decode + frame sampling") {
     val refs = Seq("media://bucket/a1", "media://bucket/b2", "media://bucket/c3").toDS()
     val media = MultimodalOps.decodeAndFeaturize(refs)

@@ -30,4 +30,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(total2 >= total)
     } finally q.stop()
   }
+
+  test("streaming dedup drops in-horizon duplicates with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingPipeline.TimedDoc]
+    val deduped = StreamingPipeline.dedupStream(input.toDS(), watermark = "1 minute")
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+      val d1 = SyntheticDocs.generateDoc(1L)
+      val d2 = SyntheticDocs.generateDoc(2L)
+      input.addData(Seq(
+        StreamingPipeline.TimedDoc(d1, t0),
+        StreamingPipeline.TimedDoc(d1.copy(doc_id = "dup-of-1"), t0), // same content, new id
+        StreamingPipeline.TimedDoc(d2, t0)))
+      q.processAllAvailable()
+      // duplicate content within the horizon: only one survivor per hash
+      val ids = spark.table("dedup_stream").select("doc_id").as[String].collect().toSet
+      assert(ids.size == 2, s"expected 2 unique docs, got $ids")
+      assert(ids.contains(d2.doc_id))
+      assert(ids.contains(d1.doc_id) ^ ids.contains("dup-of-1"))
+    } finally q.stop()
+  }
 }
