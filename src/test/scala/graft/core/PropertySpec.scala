@@ -122,6 +122,22 @@ class PropertySpec extends AnyFunSuite {
       assert(Url.resolve(ref, Some(base)).map(_.serialize).contains(expected), s"ref=$ref")
   }
 
+  test("makeRelative matches url-crate make_relative (incl. the leading-empty-segment case)") {
+    def rel(base: String, target: String): Option[String] =
+      Url.parse(base).get.makeRelative(Url.parse(target).get)
+    // regression: "" splits to one empty segment, not zero — without the
+    // cancelling leading segments this rendered "a" instead of "../a"
+    assert(rel("http://example.org/t/f.jsonld", "http://example.org/a").contains("../a"))
+    assert(rel("http://h/a/b/c", "http://h/a/b/d").contains("d"))
+    assert(rel("http://h/a/b/c", "http://h/a/x/y").contains("../x/y"))
+    assert(rel("http://h/a/b/c", "http://h/a/b/c").contains(""))
+    assert(rel("http://h/p/f", "http://h/p/f?q=1").contains("?q=1"))
+    assert(rel("http://h/p/f", "http://h/p/f#frag").contains("#frag"))
+    assert(rel("http://h/a", "http://h/a/b/c").contains("a/b/c"))
+    assert(rel("http://h/x", "https://h/x").isEmpty) // scheme mismatch
+    assert(rel("http://h1/x", "http://h2/x").isEmpty) // authority mismatch
+  }
+
   test("isIri matches the url-crate acceptance shape") {
     assert(Iri.isIri("http://example.com/x"))
     assert(Iri.isIri("ex:foo")) // any valid scheme parses
