@@ -167,6 +167,10 @@ object SparkEntry {
     "d01_dedup_exact" -> ((s, d) => {
       DedupOps.exact(t(s, d, "documents")).orderBy("keep_id")
     }),
+    "d06_dedup_exact_hash" -> ((s, d) => {
+      // the 100 TB path: shuffle content hashes, not document bytes
+      DedupOps.exactByHash(t(s, d, "documents")).orderBy("keep_id")
+    }),
     "d02_token_counts" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
         length(col("text")).cast("long").as("n_len"),
@@ -364,6 +368,8 @@ object SparkEntry {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3""",
     "d01_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY text ORDER BY keep_id""",
+    "d06_dedup_exact_hash" ->
+      """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1 ORDER BY 2""",
     "d02_token_counts" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens_ws FROM documents ORDER BY doc_id"""
     // d03..m01: engine-internal (xxhash64 signatures, JSON-LD expansion, LSH

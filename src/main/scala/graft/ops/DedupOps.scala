@@ -15,11 +15,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupOps {
 
-  /** Exact dedup: keep the first doc per identical text. At 100 TB, group on
-    * the 64-bit fingerprint, not the raw text — 8-byte shuffle keys.
+  /** Exact dedup grouping on raw text: simple and oracle-friendly, but the
+    * shuffle carries every document byte — use [[exactByHash]] at scale.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup at scale: group on sha-256 of the content, so the shuffle
+    * moves a 64-char key + id per row instead of the document bytes
+    * (collision odds at 10^12 docs ≈ 10^-53 — the industry-standard
+    * content-address trade). Same keep/count semantics as [[exact]].
+    */
+  def exactByHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Character shingles of length k, as a distinct array. */
