@@ -225,8 +225,25 @@ object Url {
 }
 
 object Iri {
+  // isIri is on the per-triple hot path (wellFormedId checks every
+  // subject/predicate/object) and predicates repeat endlessly across a
+  // corpus — memoize the parse verdict per thread. JFR put Url.parse at
+  // ~12% of engine CPU before this cache.
+  private val isIriCache = ThreadLocal.withInitial[java.util.HashMap[String, java.lang.Boolean]](
+    () => new java.util.HashMap[String, java.lang.Boolean](1024))
+
   /** /root/reference/src/util.rs:32-34 — valid absolute IRI ⇔ url parse Ok. */
-  def isIri(value: String): Boolean = Url.parse(value).isDefined
+  def isIri(value: String): Boolean = {
+    val cache = isIriCache.get()
+    val hit = cache.get(value)
+    if (hit != null) hit.booleanValue()
+    else {
+      val v = Url.parse(value).isDefined
+      if (cache.size >= 8192) cache.clear() // bounded: corpus vocab is small, ids are not
+      cache.put(value, java.lang.Boolean.valueOf(v))
+      v
+    }
+  }
 
   /** /root/reference/src/util.rs:36-41 — split on the first ':' at index ≥ 1. */
   def asCompactIri(value: String): Option[(String, String)] = {

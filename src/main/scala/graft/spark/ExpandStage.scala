@@ -89,16 +89,35 @@ object ExpandStage {
           docTriples += Triple(dIri, Ns + "hasMedia", "iri", span.media_ref, "", "", "")
       case _ => // text spans feed mention detection below
     }
-    // mention detection + entity-link scoring (deterministic dictionary scorer)
-    val textTokens = sorted.iterator.filter(s => s.kind == "text" && s.text != null)
-      .flatMap(s => tokenPattern.split(s.text.toLowerCase)).toVector
-    if (textTokens.nonEmpty) {
-      val counts = textTokens.groupBy(identity).view.mapValues(_.size)
-      for ((alias, entity) <- aliases; n <- counts.get(alias)) {
-        val score = n.toDouble / textTokens.size
-        docTriples += Triple(dIri, Ns + "mentions", "iri", entity, "", "", "")
-        docTriples += Triple(entity, Ns + "mentionScore", "literal",
-          f"$score%.6f", ToRdf.XSD + "decimal", "", dIri)
+    // mention detection + entity-link scoring (deterministic dictionary
+    // scorer). Single mutable-count pass: groupBy(identity) over the token
+    // vector was a per-doc allocation storm (JFR: groupBy + ArrayBuffer in
+    // the top frames)
+    val tokenCounts = new java.util.HashMap[String, Int]()
+    var totalTokens = 0
+    sorted.foreach { s =>
+      if (s.kind == "text" && s.text != null) {
+        val toks = tokenPattern.split(s.text.toLowerCase)
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          // leading-delimiter splits yield one empty token; the original
+          // groupBy counted it in the denominator — keep score parity
+          if (t.nonEmpty) tokenCounts.merge(t, 1, (a, b) => a + b)
+          totalTokens += 1
+          i += 1
+        }
+      }
+    }
+    if (totalTokens > 0) {
+      for ((alias, entity) <- aliases) {
+        val n = tokenCounts.getOrDefault(alias, 0)
+        if (n > 0) {
+          val score = n.toDouble / totalTokens
+          docTriples += Triple(dIri, Ns + "mentions", "iri", entity, "", "", "")
+          docTriples += Triple(entity, Ns + "mentionScore", "literal",
+            f"$score%.6f", ToRdf.XSD + "decimal", "", dIri)
+        }
       }
     }
     val canon = BnodeCanon.canonicalize(docTriples.result(), scopeSalt = doc.doc_id)
