@@ -40,6 +40,12 @@ object ExpandStage {
 
   private val tokenPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
 
+  @inline private def lower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  @inline private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
   /** Expand one document to triples (pure; also used by ScalaTest directly).
     * Blank-node labels are canonicalized per document with the doc id as
     * scope salt — bnodes never cross documents by construction, so this is
@@ -97,15 +103,25 @@ object ExpandStage {
     var totalTokens = 0
     sorted.foreach { s =>
       if (s.kind == "text" && s.text != null) {
-        val toks = tokenPattern.split(s.text.toLowerCase)
+        // hand-rolled run scanner ≡ "[^a-z0-9]+".split(text.toLowerCase):
+        // tokens are maximal [a-z0-9] runs after ASCII lowercasing (regex
+        // Matcher was a top JFR frame); split-parity quirks kept — one empty
+        // token when the text is empty or starts with a delimiter
+        val text = s.text
+        val n = text.length
         var i = 0
-        while (i < toks.length) {
-          val t = toks(i)
-          // leading-delimiter splits yield one empty token; the original
-          // groupBy counted it in the denominator — keep score parity
-          if (t.nonEmpty) tokenCounts.merge(t, 1, (a, b) => a + b)
-          totalTokens += 1
-          i += 1
+        if (n == 0 || !isTokenChar(lower(text.charAt(0)))) totalTokens += 1
+        while (i < n) {
+          while (i < n && !isTokenChar(lower(text.charAt(i)))) i += 1
+          if (i < n) {
+            val start = i
+            while (i < n && isTokenChar(lower(text.charAt(i)))) i += 1
+            val sb = new java.lang.StringBuilder(i - start)
+            var j = start
+            while (j < i) { sb.append(lower(text.charAt(j))); j += 1 }
+            tokenCounts.merge(sb.toString, 1, (a, b) => a + b)
+            totalTokens += 1
+          }
         }
       }
     }

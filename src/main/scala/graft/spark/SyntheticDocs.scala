@@ -83,7 +83,16 @@ object SyntheticDocs {
 
   def textSpan(r: Rng, d: Long): String = {
     val n = 4 + r.nextInt(24)
-    (0 until n).map(_ => words(r.nextInt(words.length))).mkString(" ") + "."
+    // one StringBuilder pass (the map+mkString pair showed up in JFR top
+    // frames — generation is measured inside every throughput number)
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(words(r.nextInt(words.length)))
+      i += 1
+    }
+    sb.append('.').toString
   }
 
   /** Generate the corpus as Dataset[Doc]; `nDocs` docs, parallelism-friendly. */
