@@ -66,8 +66,15 @@ object Canonicalize {
       .agg(sha2(concat_ws("\n", sort_array(collect_list(col("sig")))), 256).as("h"))
       .localCheckpoint(false)
 
-    // refinement rounds: include neighbor hashes
-    for (_ <- 1 to rounds) {
+    // refinement rounds: include neighbor hashes. Weisfeiler-Lehman-style
+    // refinement is monotone in the number of distinct colors, so the loop
+    // stops at the fixpoint (distinct-hash count unchanged) — one cheap
+    // countDistinct per round instead of blindly paying every join pass at
+    // corpus scale. `rounds` stays the hard cap for pathological graphs.
+    var distinctHashes = hashes.agg(countDistinct("h")).head().getLong(0)
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
       val withNbr = inc.join(hashes.withColumnRenamed("node", "other_node").withColumnRenamed("h", "nbr_h"),
         Seq("other_node"), "left")
       hashes = withNbr
@@ -76,6 +83,10 @@ object Canonicalize {
         .groupBy("node")
         .agg(sha2(concat_ws("\n", sort_array(collect_list(col("sig")))), 256).as("h"))
         .localCheckpoint(false)
+      val d = hashes.agg(countDistinct("h")).head().getLong(0)
+      converged = d == distinctHashes
+      distinctHashes = d
+      r += 1
     }
 
     // deterministic tie-break for automorphic nodes + final content label
