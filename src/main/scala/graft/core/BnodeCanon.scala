@@ -50,19 +50,34 @@ object BnodeCanon {
     }
     if (bnodes.isEmpty) return triples
 
+    // Signatures are accumulated node-by-node in ONE pass over the triples
+    // (the per-bnode flatMap formulation rescanned all triples per bnode —
+    // O(B×T) and a top JFR allocation site; signature STRINGS are unchanged,
+    // so canonical labels stay byte-identical).
+    def sigPass(emit: (String, String) => Unit, term: String => String,
+                obj: Triple => String, graphSig: Triple => String): Unit =
+      triples.foreach { t =>
+        if (t.subj.startsWith("_:")) emit(t.subj, s"s|${term(t.pred)}|${obj(t)}|${term(t.graph)}")
+        if (t.pred.startsWith("_:")) emit(t.pred, s"p|${term(t.subj)}|${obj(t)}|${term(t.graph)}")
+        if (t.objKind == "bnode") emit(t.objValue, s"o|${term(t.pred)}|${term(t.subj)}|${term(t.graph)}")
+        if (t.graph.startsWith("_:")) emit(t.graph, graphSig(t))
+      }
+
+    def hashRound(term: String => String, obj: Triple => String, graphSig: Triple => String,
+                  prevHash: String => String): Map[String, String] = {
+      val sigsByNode = new java.util.HashMap[String, collection.mutable.ArrayBuffer[String]]()
+      bnodes.foreach(b => sigsByNode.put(b, new collection.mutable.ArrayBuffer[String](4)))
+      sigPass((b, sig) => sigsByNode.get(b) += sig, term, obj, graphSig)
+      bnodes.iterator.map { b =>
+        val sigs = sigsByNode.get(b).sorted
+        b -> sha256(prevHash(b) + sigs.mkString("\n"))
+      }.toMap
+    }
+
     // initial hash: local first-degree signature ("_" masks bnode neighbors)
     def mask(s: String): String = if (s.startsWith("_:")) "_" else s
-    var hashes: Map[String, String] = bnodes.iterator.map { b =>
-      val sigs = triples.flatMap { t =>
-        val out = collection.mutable.ArrayBuffer[String]()
-        if (t.subj == b) out += s"s|${mask(t.pred)}|${if (t.objKind == "bnode") "_" else objKey(t)}|${mask(t.graph)}"
-        if (t.pred == b) out += s"p|${mask(t.subj)}|${if (t.objKind == "bnode") "_" else objKey(t)}|${mask(t.graph)}"
-        if (t.objKind == "bnode" && t.objValue == b) out += s"o|${mask(t.pred)}|${mask(t.subj)}|${mask(t.graph)}"
-        if (t.graph == b) out += s"g|${mask(t.pred)}"
-        out
-      }.sorted
-      b -> sha256(sigs.mkString("\n"))
-    }.toMap
+    var hashes: Map[String, String] = hashRound(
+      mask, t => if (t.objKind == "bnode") "_" else objKey(t), t => s"g|${mask(t.pred)}", _ => "")
 
     // refinement: re-hash with neighbor hashes until stable or round cap.
     // Skip entirely when first-degree signatures already separate every node
@@ -70,18 +85,10 @@ object BnodeCanon {
     var round = 0
     var changed = hashes.values.toSet.size != bnodes.size
     while (changed && round < maxRounds) {
-      val next = bnodes.iterator.map { b =>
-        val sigs = triples.flatMap { t =>
-          val out = collection.mutable.ArrayBuffer[String]()
-          def term(s: String): String = if (s.startsWith("_:")) "#" + hashes(s) else s
-          if (t.subj == b) out += s"s|${term(t.pred)}|${if (t.objKind == "bnode") "#" + hashes(t.objValue) else objKey(t)}|${term(t.graph)}"
-          if (t.pred == b) out += s"p|${term(t.subj)}|${if (t.objKind == "bnode") "#" + hashes(t.objValue) else objKey(t)}|${term(t.graph)}"
-          if (t.objKind == "bnode" && t.objValue == b) out += s"o|${term(t.pred)}|${term(t.subj)}|${term(t.graph)}"
-          if (t.graph == b) out += s"g|${term(t.pred)}|${term(t.subj)}"
-          out
-        }.sorted
-        b -> sha256(hashes(b) + "\n" + sigs.mkString("\n"))
-      }.toMap
+      def term(s: String): String = if (s.startsWith("_:")) "#" + hashes(s) else s
+      val next = hashRound(
+        term, t => if (t.objKind == "bnode") "#" + hashes(t.objValue) else objKey(t),
+        t => s"g|${term(t.pred)}|${term(t.subj)}", b => hashes(b) + "\n")
       changed = next != hashes &&
         next.values.toSet.size != hashes.values.toSet.size // refine only while partitions split
       hashes = next

@@ -128,7 +128,22 @@ object Url {
     }
   }
 
+  // the overwhelmingly common authority is a bare lowercase host — detect it
+  // in one scan and skip the userinfo/port/case machinery (and its substring
+  // allocations; JFR had normalizeAuthority among the top byte[] sites)
+  private def plainLowerHost(a: String): Boolean = {
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val c = a.charAt(i)
+      if (c == '@' || c == '[' || c == ':' || (c >= 'A' && c <= 'Z')) return false
+      i += 1
+    }
+    true
+  }
+
   private def normalizeAuthority(scheme: String, auth0: String): Option[String] = {
+    if (plainLowerHost(auth0)) return Some(auth0)
     // strip userinfo (rare in our corpus; keep as-is before '@')
     val (userinfo, hp) = {
       val at = auth0.lastIndexOf('@')
@@ -163,6 +178,9 @@ object Url {
   /** RFC 3986 §5.2.4. */
   def removeDotSegments(path: String): String = {
     if (path.isEmpty) return path
+    // no '.' anywhere ⇒ no dot segments ⇒ identity (the common case; the
+    // general loop below allocates a substring per segment)
+    if (path.indexOf('.') < 0) return path
     val out = new collection.mutable.ArrayBuffer[String]()
     var in = path
     while (in.nonEmpty) {
@@ -254,17 +272,27 @@ object Iri {
     }
   }
 
+  // stored with the leading '@' so isKeyword needs no substring allocation
+  // (it runs once per object key per expansion — a top JFR byte[] site)
   private val keywords = Set(
     "base", "container", "context", "default", "direction", "embed", "explicit", "graph", "id",
     "included", "index", "json", "language", "list", "nest", "none", "omitDefault", "prefix",
     "preserve", "protected", "requireAll", "reverse", "set", "type", "value", "version", "vocab")
+    .map("@" + _)
 
   /** /root/reference/src/util.rs:14-22 */
   def isKeyword(value: String): Boolean =
-    value.length > 1 && value.charAt(0) == '@' && keywords.contains(value.substring(1))
+    value.length > 1 && value.charAt(0) == '@' && keywords.contains(value)
 
   /** /root/reference/src/util.rs:24-26 */
-  def looksLikeKeyword(value: String): Boolean =
-    value.length > 1 && value.charAt(0) == '@' &&
-      value.substring(1).forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+  def looksLikeKeyword(value: String): Boolean = {
+    if (value.length <= 1 || value.charAt(0) != '@') return false
+    var i = 1
+    while (i < value.length) {
+      val c = value.charAt(i)
+      if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return false
+      i += 1
+    }
+    true
+  }
 }

@@ -34,18 +34,23 @@ object JsonLdApi {
       case JsonLdInput.Ref(iri) => JsonLdInput.Remote(state.loader.load(iri))
       case other => other
     }
-    var activeContext = new Context(
-      baseIri = (options.base match {
-        case Some(b) => Some(b)
-        case None => input match {
-          case JsonLdInput.Remote(doc) => Some(doc.documentUrl)
-          case _ => None
-        }
-      }).map(parseBase),
-      originalBaseUrl = (input match {
+    // base and originalBase are usually the same string (options.base on a
+    // Doc input — the per-span pipeline case); parse it once
+    val baseStr = options.base match {
+      case Some(b) => Some(b)
+      case None => input match {
         case JsonLdInput.Remote(doc) => Some(doc.documentUrl)
-        case _ => options.base
-      }).map(parseBase)
+        case _ => None
+      }
+    }
+    val origStr = input match {
+      case JsonLdInput.Remote(doc) => Some(doc.documentUrl)
+      case _ => options.base
+    }
+    val baseParsed = baseStr.map(parseBase)
+    var activeContext = new Context(
+      baseIri = baseParsed,
+      originalBaseUrl = if (origStr == baseStr) baseParsed else origStr.map(parseBase)
     )
     options.expandContext.foreach { expandContext =>
       val context = expandContext match {

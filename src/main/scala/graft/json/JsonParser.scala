@@ -56,13 +56,15 @@ object JsonParser {
 }
 
 object JsonWriter {
+  private val factory = new JsonFactory() // JsonFactory is thread-safe; per-call construction was measurable
+
   /** Serialize. Numbers: integral doubles in long range print without a
     * fraction (matches serde_json round-trip closely enough for fixtures;
     * semantic comparisons go through JsonEq.jsonLdEq, which compares f64).
     */
   def write(v: JsonValue): String = {
     val sw = new StringWriter()
-    val g = new JsonFactory().createGenerator(sw)
+    val g = factory.createGenerator(sw)
     writeValue(g, v)
     g.flush()
     sw.toString

@@ -76,7 +76,9 @@ object JArr {
 
 /** Mutable insertion-ordered JSON object (LinkedHashMap-backed). */
 final class JObj(private val map: java.util.LinkedHashMap[String, JsonValue]) extends JsonValue {
-  def this() = this(new java.util.LinkedHashMap[String, JsonValue]())
+  // most JSON-LD objects carry 1–4 keys; the default 16-slot table was a
+  // top Node[]-allocation site in JFR
+  def this() = this(new java.util.LinkedHashMap[String, JsonValue](4))
   def put(k: String, v: JsonValue): Unit = map.put(k, v)
   def get(k: String): Option[JsonValue] = Option(map.get(k))
   def contains(k: String): Boolean = map.containsKey(k)

@@ -46,6 +46,30 @@ object ExpandStage {
   @inline private def isTokenChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 
+  // alias dictionary as (chars, entity) pairs in map-iteration order, cached
+  // per map instance (the broadcast value is partition-constant)
+  @volatile private var aliasCache: (Map[String, String], Array[(Array[Char], String)]) = null
+  private def aliasLookup(aliases: Map[String, String]): Array[(Array[Char], String)] = {
+    val c = aliasCache
+    if (c != null && (c._1 eq aliases)) c._2
+    else {
+      val arr = aliases.iterator.map { case (a, e) => (a.toCharArray, e) }.toArray
+      aliasCache = (aliases, arr)
+      arr
+    }
+  }
+
+  /** token run text[start,end) equals `alias` after ASCII lowercasing */
+  @inline private def runEquals(text: String, start: Int, end: Int, alias: Array[Char]): Boolean = {
+    if (end - start != alias.length) return false
+    var i = 0
+    while (i < alias.length) {
+      if (lower(text.charAt(start + i)) != alias(i)) return false
+      i += 1
+    }
+    true
+  }
+
   /** Expand one document to triples (pure; also used by ScalaTest directly).
     * Blank-node labels are canonicalized per document with the doc id as
     * scope salt — bnodes never cross documents by construction, so this is
@@ -70,9 +94,24 @@ object ExpandStage {
     val triples = Vector.newBuilder[TripleRow]
     val errors = Vector.newBuilder[DocError]
     val dIri = docIri(doc.doc_id)
-    val sorted = doc.spans.sortBy(_.offset)
+    // generators emit spans already offset-ordered — detect that in one scan
+    // and skip the sort (and its per-doc allocations)
+    var preSorted = true
+    var dup = false
+    var k = 1
+    while (k < doc.spans.size) {
+      val d = doc.spans(k).offset - doc.spans(k - 1).offset
+      if (d < 0) preSorted = false
+      if (d == 0) dup = true
+      k += 1
+    }
+    val sorted = if (preSorted) doc.spans else doc.spans.sortBy(_.offset)
+    if (!preSorted) {
+      var j = 1
+      while (j < sorted.size && !dup) { if (sorted(j).offset == sorted(j - 1).offset) dup = true; j += 1 }
+    }
     // span-order invariant: offsets strictly increasing within a doc
-    if (sorted.map(_.offset).distinct.size != sorted.size)
+    if (dup)
       errors += DocError(doc.doc_id, -1, "span-order", "duplicate span offsets")
 
     val docTriples = Vector.newBuilder[Triple]
@@ -96,17 +135,19 @@ object ExpandStage {
       case _ => // text spans feed mention detection below
     }
     // mention detection + entity-link scoring (deterministic dictionary
-    // scorer). Single mutable-count pass: groupBy(identity) over the token
-    // vector was a per-doc allocation storm (JFR: groupBy + ArrayBuffer in
-    // the top frames)
-    val tokenCounts = new java.util.HashMap[String, Int]()
+    // scorer). Only alias tokens ever get read back, so tokens are matched
+    // in place against the alias list — no per-token String/HashMap churn
+    // (the earlier groupBy(identity) and then per-token StringBuilder were
+    // both top JFR allocation sites)
+    val aliasArr = aliasLookup(aliases)
+    val aliasHits = new Array[Int](aliasArr.length)
     var totalTokens = 0
     sorted.foreach { s =>
       if (s.kind == "text" && s.text != null) {
         // hand-rolled run scanner ≡ "[^a-z0-9]+".split(text.toLowerCase):
-        // tokens are maximal [a-z0-9] runs after ASCII lowercasing (regex
-        // Matcher was a top JFR frame); split-parity quirks kept — one empty
-        // token when the text is empty or starts with a delimiter
+        // tokens are maximal [a-z0-9] runs after ASCII lowercasing; split-
+        // parity quirks kept — one empty token when the text is empty or
+        // starts with a delimiter
         val text = s.text
         val n = text.length
         var i = 0
@@ -116,24 +157,28 @@ object ExpandStage {
           if (i < n) {
             val start = i
             while (i < n && isTokenChar(lower(text.charAt(i)))) i += 1
-            val sb = new java.lang.StringBuilder(i - start)
-            var j = start
-            while (j < i) { sb.append(lower(text.charAt(j))); j += 1 }
-            tokenCounts.merge(sb.toString, 1, (a, b) => a + b)
+            var a = 0
+            while (a < aliasArr.length) {
+              if (runEquals(text, start, i, aliasArr(a)._1)) aliasHits(a) += 1
+              a += 1
+            }
             totalTokens += 1
           }
         }
       }
     }
     if (totalTokens > 0) {
-      for ((alias, entity) <- aliases) {
-        val n = tokenCounts.getOrDefault(alias, 0)
+      var a = 0
+      while (a < aliasArr.length) {
+        val n = aliasHits(a)
         if (n > 0) {
+          val entity = aliasArr(a)._2
           val score = n.toDouble / totalTokens
           docTriples += Triple(dIri, Ns + "mentions", "iri", entity, "", "", "")
           docTriples += Triple(entity, Ns + "mentionScore", "literal",
             f"$score%.6f", ToRdf.XSD + "decimal", "", dIri)
         }
+        a += 1
       }
     }
     val canon = BnodeCanon.canonicalize(docTriples.result(), scopeSalt = doc.doc_id)
