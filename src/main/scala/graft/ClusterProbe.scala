@@ -27,8 +27,10 @@ object ClusterProbe {
     }
     // warmup scaled to total cores so every executor JVM gets the same per-core
     // JIT warmup regardless of cluster size (a fixed warmup under-warms the
-    // 4N leg: its reps kept speeding up 5.6→4.9→4.5 s)
-    val warm = 12500L * spark.sparkContext.defaultParallelism
+    // 4N leg: its reps kept speeding up 5.6→4.9→4.5 s). 25k docs/core: with
+    // reps=1 the timed run no longer rides a previous rep's warmup, so the
+    // pre-timed warm must carry the full C2 ramp on its own
+    val warm = 25000L * spark.sparkContext.defaultParallelism
     timed(warm)
     val results = (1 to reps).map { rep =>
       val (t, c) = timed(n)

@@ -89,6 +89,15 @@ object Url {
 
   /** Parse an absolute URL. Returns None on failure (≈ url crate parse Err). */
   def parse(input: String): Option[Url] = {
+    val fast = fastParse(input)
+    if (fast != null) return Some(fast)
+    parseGeneral(input)
+  }
+
+  /** The full parse path, bypassing fastParse — exposed so tests can assert
+    * fastParse ≡ parseGeneral on every input shape.
+    */
+  private[core] def parseGeneral(input: String): Option[Url] = {
     val s = input.trim
     val ci = s.indexOf(':')
     if (ci <= 0) return None
@@ -97,6 +106,50 @@ object Url {
     val scheme = rawScheme.toLowerCase
     val rest = s.substring(ci + 1)
     parseAfterScheme(scheme, rest)
+  }
+
+  /** Conservative single-scan parse for the dominant IRI shape
+    * `scheme://lowerhost/path[?query][#fragment]` — all-lowercase letter
+    * scheme, host limited to `[a-z0-9.-]`, path free of `'.'` (⇒ no dot
+    * segments) — where the general parser is provably the identity
+    * normalization. Returns null for anything else; the caller falls back.
+    * Every accepted input yields field-for-field what `parseAfterScheme`
+    * would (PropertySpec cross-checks). This exists because per-span
+    * subject IRIs are unique, so the isIri memo never hits on them and the
+    * full WHATWG-style parse was the largest engine CPU cluster in JFR.
+    */
+  private def fastParse(s: String): Url = {
+    val n = s.length
+    if (n < 8) return null // shortest: "x://h/"-ish; below that let the general path decide
+    if (s.charAt(0) <= ' ' || s.charAt(n - 1) <= ' ') return null // trim territory
+    var i = 0
+    while (i < n && { val c = s.charAt(i); c >= 'a' && c <= 'z' }) i += 1
+    if (i == 0 || i + 3 >= n || s.charAt(i) != ':' || s.charAt(i + 1) != '/' || s.charAt(i + 2) != '/') return null
+    val scheme = s.substring(0, i)
+    val hostStart = i + 3
+    var j = hostStart
+    while (j < n && { val c = s.charAt(j); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '.' || c == '-' }) j += 1
+    if (j == hostStart) return null // empty/unusual host
+    val afterHost = if (j < n) s.charAt(j) else '\u0000'
+    if (j < n && afterHost != '/' && afterHost != '?' && afterHost != '#') return null
+    val authority = s.substring(hostStart, j)
+    // path: from j (must start '/') up to first '?' or '#'; no '.' allowed
+    var k = j
+    while (k < n && { val c = s.charAt(k); c != '?' && c != '#' }) {
+      if (s.charAt(k) == '.') return null
+      k += 1
+    }
+    val path = if (k == j) "/" else s.substring(j, k)
+    var query: String = null
+    var fragment: String = null
+    if (k < n && s.charAt(k) == '?') {
+      var q = k + 1
+      while (q < n && s.charAt(q) != '#') q += 1
+      query = s.substring(k + 1, q)
+      k = q
+    }
+    if (k < n && s.charAt(k) == '#') fragment = s.substring(k + 1)
+    Url(scheme, Some(authority), path, Option(query), Option(fragment))
   }
 
   private def parseAfterScheme(scheme: String, rest0: String): Option[Url] = {

@@ -182,8 +182,8 @@ object ExpandStage {
       }
     }
     val canon = BnodeCanon.canonicalize(docTriples.result(), scopeSalt = doc.doc_id)
-    triples ++= canon.map(t =>
-      TripleRow(t.subj, t.pred, t.objKind, t.objValue, t.objDatatype, t.objLang, t.graph, doc.doc_id))
+    canon.foreach(t =>
+      triples += TripleRow(t.subj, t.pred, t.objKind, t.objValue, t.objDatatype, t.objLang, t.graph, doc.doc_id))
     (triples.result(), errors.result())
   }
 
