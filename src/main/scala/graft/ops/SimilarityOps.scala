@@ -102,42 +102,43 @@ object SimilarityOps {
   private def nearestCellsJvm(v: Seq[Float], cents: Array[Array[Double]], nProbe: Int): Array[Int] =
     cents.indices.sortBy(ci => -dotJvm(v, cents(ci))).take(nProbe).toArray
 
-  /** Train a deterministic k-means coarse quantizer with Lloyd iterations
-    * expressed as DataFrame aggregations: assignment is a broadcast-closure
-    * JVM kernel (centroid table is tiny), the new means come from one
-    * `posexplode → groupBy(cell, dim) → avg` pass — the corpus is scanned,
-    * never shuffled by vector. Init: hash-sampled, id-ordered `nCells` seeds
-    * (deterministic; no global sort of the corpus).
+  /** Train a deterministic k-means coarse quantizer on a driver-side
+    * hash-sample with Lloyd iterations in plain JVM code. This is the
+    * 100 TB-correct shape: an IVF quantizer is never Lloyd-iterated over the
+    * full corpus — a bounded sample (`sampleCap` rows, hash-selected so it is
+    * stable under repartitioning) fits on the driver at any corpus size, and
+    * the expensive full-corpus pass happens exactly once, at assignment time
+    * in [[ivfTopK]]. (The previous formulation ran 2 Spark jobs per Lloyd
+    * iteration over the whole table — at sf0.1 that was ~10 scheduled jobs
+    * of pure overhead for a 2k-row table, and at 100 TB it would be 8 full
+    * corpus scans.) Init: id-ordered first `nCells` sample rows.
     */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 16, iters: Int = 4): Array[Array[Double]] = {
-    val n = corpus.count()
-    val every = math.max(n / math.max(nCells * 4, 1), 1L)
-    val seeds = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .filter(pmod(xxhash64(col("id")), lit(every)) === 0)
-      .orderBy("id").limit(nCells)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    var cents = seeds.map(normalize)
+      nCells: Int = 16, iters: Int = 4, sampleCap: Int = 8192): Array[Array[Double]] = {
+    // hash-thinned then id-ordered-capped: deterministic for any partitioning.
+    // mod 4 keeps enough rows at small scale; the cap bounds driver memory.
+    val sample = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(pmod(xxhash64(col("id")), lit(4)) === 0)
+      .orderBy("id").limit(sampleCap)
+      .collect().map(_.getSeq[Float](1))
+    require(sample.nonEmpty, "ivfTrain: empty sample — corpus too small or id hash degenerate")
+    var cents = sample.take(nCells).map(v => normalize(v.map(_.toDouble).toArray))
     for (_ <- 1 to iters) {
-      val cs = cents
-      val assign = udf((v: Seq[Float]) => nearestCellsJvm(v, cs, 1)(0))
-      // materialize the assignment BEFORE exploding: a udf in the same
-      // select as posexplode is re-evaluated once per exploded element
-      // (64× per vector — measured 165 s instead of ~4 s at sf0.1)
-      val assigned = corpus.select(assign(col(vecCol)).as("cell"), col(vecCol).as("v"))
-        .localCheckpoint(false)
-      val sums = assigned.select(col("cell"), posexplode(col("v")))
-        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      val byCell = sums.groupBy(_.getInt(0))
-      for ((cell, rows) <- byCell) {
-        val dim = rows.maxBy(_.getInt(1)).getInt(1) + 1
-        val m = new Array[Double](dim)
-        rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
-        next(cell) = normalize(m)
+      val dim = cents.map(_.length).max
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        val cell = nearestCellsJvm(v, cents, 1)(0)
+        val s = sums(cell)
+        var i = 0
+        val n = math.min(v.length, dim)
+        while (i < n) { s(i) += v(i); i += 1 }
+        counts(cell) += 1
       }
-      cents = next // cells with no members keep their previous centroid
+      cents = cents.indices.map { ci =>
+        if (counts(ci) == 0) cents(ci) // empty cells keep their previous centroid
+        else normalize(sums(ci).map(_ / counts(ci)))
+      }.toArray
     }
     cents
   }

@@ -71,8 +71,12 @@ object Canonicalize {
     // stops at the fixpoint (distinct-hash count unchanged) — one cheap
     // countDistinct per round instead of blindly paying every join pass at
     // corpus scale. `rounds` stays the hard cap for pathological graphs.
-    var distinctHashes = hashes.agg(countDistinct("h")).head().getLong(0)
-    var converged = false
+    val firstCounts = hashes.agg(countDistinct("h"), count(lit(1))).head()
+    var distinctHashes = firstCounts.getLong(0)
+    // first-degree hashes already separate every node ⇒ refinement is the
+    // identity — skip the join rounds entirely (the overwhelmingly common
+    // case for doc-scoped bnodes; same skip as BnodeCanon.canonicalize)
+    var converged = distinctHashes == firstCounts.getLong(1)
     var r = 0
     while (r < rounds && !converged) {
       val withNbr = inc.join(hashes.withColumnRenamed("node", "other_node").withColumnRenamed("h", "nbr_h"),

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * this object touches storage.
   *
   * Layout under `outDir`:
+  *   staging_b{K}/bucket=N/  bucketed source docs (written once, partition-pruned per-bucket reads)
   *   triples/bucket=N/   deduplicated triples of bucket N
   *   errors/bucket=N/    expansion error channel
   *   lineage/            one row per completed bucket (status, counts, attempt)
@@ -65,15 +66,28 @@ object Materialize {
         .select(col("s.text")).as[String]
         .flatMap(t => RemoteContextPool.knownIris.filter(t.contains)))
 
-    val withBucket = docs.withColumn("bucket", bucketOf(buckets)).cache()
+    // Stage the bucketed corpus once, partitioned BY bucket: per-bucket reads
+    // below are partition-pruned scans (only bucket=N files touched), and a
+    // resumed run re-reads staging instead of recomputing the bucketing.
+    // (An earlier formulation used .cache() — at 10^12 docs that pins the
+    // whole corpus in executor memory/disk and dies with any executor; a
+    // staged table is the durable equivalent. Bucket count is part of the
+    // path so a re-run with different `buckets` never reads a stale layout.)
+    val stagingDir = s"$outDir/staging_b$buckets"
+    if (!new java.io.File(s"$stagingDir/_SUCCESS").exists()) {
+      docs.withColumn("bucket", bucketOf(buckets))
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stagingDir)
+    }
+    val staged = spark.read.parquet(stagingDir)
     var totalTriples = 0L
     var totalErrors = 0L
     var processed = 0
-    try {
+    locally {
       for (b <- 0 until buckets if !done.contains(b)) {
         if (failAtBucket.contains(b)) throw new RuntimeException(s"injected failure at bucket $b")
         val t0 = System.nanoTime()
-        val bucketDocs = withBucket.filter(col("bucket") === b).drop("bucket").as[Doc]
+        val bucketDocs = staged.filter(col("bucket") === b).drop("bucket").as[Doc]
         val rows = ExpandStage.run(bucketDocs, ctxB).cache()
         val triples = ExpandStage.triples(rows)
           .dropDuplicates("subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang", "graph")
@@ -91,7 +105,7 @@ object Materialize {
         totalErrors += ec
         processed += 1
       }
-    } finally withBucket.unpersist()
+    }
     RunReport(buckets, processed, done.size, totalTriples, totalErrors)
   }
 
