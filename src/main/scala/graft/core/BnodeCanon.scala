@@ -17,11 +17,11 @@ object BnodeCanon {
   // whole stage. One digest per thread, reset between uses.
   private val digests = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("SHA-256"))
   private val hexChars = "0123456789abcdef".toCharArray
+  // reusable per-thread UTF-8 staging buffer for digest updates (the
+  // String.getBytes byte[] per hash was a top allocation site)
+  private val utf8Buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](256))
 
-  private def sha256(s: String): String = {
-    val md = digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def hex(d: Array[Byte]): String = {
     val out = new Array[Char](d.length * 2)
     var i = 0
     while (i < d.length) {
@@ -30,6 +30,41 @@ object BnodeCanon {
       i += 1
     }
     new String(out)
+  }
+
+  /** md.update with exactly the bytes of `s.getBytes(UTF_8)`, no per-call
+    * byte[] (standard UTF-8 encode incl. surrogate pairs into a reused buffer).
+    */
+  private def updateUtf8(md: MessageDigest, s: String): Unit = {
+    var buf = utf8Buf.get()
+    val maxLen = s.length * 3 + 4 // worst case (astral pairs: 2 chars → 4 bytes < 6)
+    if (buf.length < maxLen) { buf = new Array[Byte](Integer.highestOneBit(maxLen) * 2); utf8Buf.set(buf) }
+    var i = 0; var n = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c < 0x80) { buf(n) = c.toByte; n += 1 }
+      else if (c < 0x800) {
+        buf(n) = (0xc0 | (c >> 6)).toByte; buf(n + 1) = (0x80 | (c & 0x3f)).toByte; n += 2
+      } else if (Character.isHighSurrogate(c) && i + 1 < len && Character.isLowSurrogate(s.charAt(i + 1))) {
+        val cp = Character.toCodePoint(c, s.charAt(i + 1)); i += 1
+        buf(n) = (0xf0 | (cp >> 18)).toByte; buf(n + 1) = (0x80 | ((cp >> 12) & 0x3f)).toByte
+        buf(n + 2) = (0x80 | ((cp >> 6) & 0x3f)).toByte; buf(n + 3) = (0x80 | (cp & 0x3f)).toByte; n += 4
+      } else if (Character.isSurrogate(c)) { buf(n) = '?'.toByte; n += 1 } // unpaired → '?', same as getBytes(UTF_8)
+      else {
+        buf(n) = (0xe0 | (c >> 12)).toByte; buf(n + 1) = (0x80 | ((c >> 6) & 0x3f)).toByte
+        buf(n + 2) = (0x80 | (c & 0x3f)).toByte; n += 3
+      }
+      i += 1
+    }
+    md.update(buf, 0, n)
+  }
+
+  private def sha256(s: String): String = {
+    val md = digests.get()
+    md.reset()
+    updateUtf8(md, s)
+    hex(md.digest())
   }
 
   private def objKey(t: Triple): String = t.objKind + "\u0001" + t.objValue + "\u0001" + t.objDatatype + "\u0001" + t.objLang
@@ -70,7 +105,17 @@ object BnodeCanon {
       sigPass((b, sig) => sigsByNode.get(b) += sig, term, obj, graphSig)
       bnodes.iterator.map { b =>
         val sigs = sigsByNode.get(b).sorted
-        b -> sha256(prevHash(b) + sigs.mkString("\n"))
+        // digest fed incrementally — same bytes as prevHash(b) + sigs.mkString("\n")
+        val md = digests.get()
+        md.reset()
+        updateUtf8(md, prevHash(b))
+        var i = 0
+        while (i < sigs.length) {
+          if (i > 0) md.update('\n'.toByte)
+          updateUtf8(md, sigs(i))
+          i += 1
+        }
+        b -> hex(md.digest())
       }.toMap
     }
 
@@ -118,11 +163,14 @@ object BnodeCanon {
       }
     }
     triples.map { t =>
-      t.copy(
-        subj = labels.getOrElse(t.subj, t.subj),
-        pred = labels.getOrElse(t.pred, t.pred),
-        objValue = if (t.objKind == "bnode") labels.getOrElse(t.objValue, t.objValue) else t.objValue,
-        graph = labels.getOrElse(t.graph, t.graph))
+      // copy only when a field is actually relabeled (bnode fields are the
+      // minority; Triple.copy per triple was a measured allocation site)
+      val s = if (t.subj.startsWith("_:")) labels.getOrElse(t.subj, t.subj) else t.subj
+      val p = if (t.pred.startsWith("_:")) labels.getOrElse(t.pred, t.pred) else t.pred
+      val o = if (t.objKind == "bnode") labels.getOrElse(t.objValue, t.objValue) else t.objValue
+      val g = if (t.graph.startsWith("_:")) labels.getOrElse(t.graph, t.graph) else t.graph
+      if ((s eq t.subj) && (p eq t.pred) && (o eq t.objValue) && (g eq t.graph)) t
+      else Triple(s, p, t.objKind, o, t.objDatatype, t.objLang, g)
     }
   }
 

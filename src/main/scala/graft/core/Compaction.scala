@@ -296,7 +296,7 @@ object Compaction {
             }
           }
           val singleIdKey = compactedItem.asObj.exists(co =>
-            co.size == 1 && expandIri(Normal(activeContext), co.keys.next(), documentRelative = false, vocab = true)
+            co.size == 1 && expandIri(activeContext, co.keys.next(), documentRelative = false, vocab = true)
               .contains("@id"))
           if (singleIdKey) {
             val element = JObj("@id" -> expandedItem.asObj.flatMap(_.removeKey("@id")).getOrElse(JNull))
@@ -318,7 +318,7 @@ object Compaction {
     activeContext.termDefinitions.get(itemActiveProperty).flatMap(_.nestValue) match {
       case Some(nestTerm) =>
         if (nestTerm != "@nest" &&
-            !expandIri(Normal(activeContext), nestTerm, documentRelative = false, vocab = true).contains("@nest"))
+            !expandIri(activeContext, nestTerm, documentRelative = false, vocab = true).contains("@nest"))
           throw JsonLdError(InvalidNestValue)
         result.get(nestTerm) match {
           case Some(o: JObj) => o

@@ -18,48 +18,61 @@ object IriExpansion {
       defined: mutable.Map[String, Boolean], options: JsonLdOptions
   ) extends Args { def activeContext: Context = ctx }
 
-  def expandIri(args: Args, value: String, documentRelative: Boolean, vocab: Boolean): Option[String] = {
+  def expandIri(args: Args, value: String, documentRelative: Boolean, vocab: Boolean): Option[String] =
+    args match {
+      case Normal(ctx) => expandIriIn(ctx, null, value, documentRelative, vocab)
+      case dt: DefineTerms => expandIriIn(dt.ctx, dt, value, documentRelative, vocab)
+    }
+
+  /** Read-only overload — the `Normal(ctx)` wrapper per call was a measured
+    * JFR allocation site (expansion calls this once per object key).
+    */
+  def expandIri(ctx: Context, value: String, documentRelative: Boolean, vocab: Boolean): Option[String] =
+    expandIriIn(ctx, null, value, documentRelative, vocab)
+
+  private def expandIriIn(
+      activeContext: Context, dt: DefineTerms,
+      value: String, documentRelative: Boolean, vocab: Boolean): Option[String] = {
     if (Iri.isKeyword(value)) return Some(value)
     if (Iri.looksLikeKeyword(value)) return None // keyword-lookalike → dropped
-    args match {
-      case DefineTerms(ctx, local, defined, options) =>
-        local.get(value).foreach { valueDefinition =>
-          if (defined.get(value).contains(false))
-            ContextProcessor.createTermDefinition(ctx, local, value, valueDefinition, defined, options,
-              None, protectedFlag = false, overrideProtected = false)
-        }
-      case _ =>
+    if (dt != null) {
+      dt.localContext.get(value).foreach { valueDefinition =>
+        if (dt.defined.get(value).contains(false))
+          ContextProcessor.createTermDefinition(dt.ctx, dt.localContext, value, valueDefinition, dt.defined,
+            dt.options, None, protectedFlag = false, overrideProtected = false)
+      }
     }
-    args.activeContext.termDefinitions.get(value) match {
+    activeContext.termDefinitions.get(value) match {
       case Some(definition) if vocab || definition.iri.exists(Iri.isKeyword) =>
         return definition.iri
       case _ =>
     }
-    Iri.asCompactIri(value) match {
-      case Some((prefix, suffix)) =>
-        if (prefix == "_" || suffix.startsWith("//")) return Some(value) // bnode / absolute-ish passthrough
-        args match {
-          case DefineTerms(ctx, local, defined, options) =>
-            local.get(prefix).foreach { prefixDefinition =>
-              if (!defined.get(prefix).contains(true))
-                ContextProcessor.createTermDefinition(ctx, local, prefix, prefixDefinition, defined, options,
-                  None, protectedFlag = false, overrideProtected = false)
-            }
-          case _ =>
+    // compact-IRI split (util.rs:36-41) inlined on indexes — the
+    // Option[(String,String)] + suffix substring per call was a JFR site
+    val ci = if (value.isEmpty) -1 else value.indexOf(':', 1)
+    if (ci >= 0) {
+      if ((ci == 1 && value.charAt(0) == '_') || value.startsWith("//", ci + 1))
+        return Some(value) // bnode / absolute-ish passthrough
+      val prefix = value.substring(0, ci)
+      if (dt != null) {
+        dt.localContext.get(prefix).foreach { prefixDefinition =>
+          if (!dt.defined.get(prefix).contains(true))
+            ContextProcessor.createTermDefinition(dt.ctx, dt.localContext, prefix, prefixDefinition, dt.defined,
+              dt.options, None, protectedFlag = false, overrideProtected = false)
         }
-        args.activeContext.termDefinitions.get(prefix) match {
-          case Some(definition) if definition.prefix && definition.iri.isDefined =>
-            return Some(definition.iri.get + suffix)
-          case _ =>
-        }
-        if (Iri.isIri(value)) return Some(value)
-      case None =>
+      }
+      activeContext.termDefinitions.get(prefix) match {
+        case Some(definition) if definition.prefix && definition.iri.isDefined =>
+          return Some(definition.iri.get + value.substring(ci + 1))
+        case _ =>
+      }
+      if (Iri.isIri(value)) return Some(value)
     }
-    if (vocab) args.activeContext.vocabularyMapping match {
+    if (vocab) activeContext.vocabularyMapping match {
       case Some(vm) => return Some(vm + value)
       case None =>
     }
-    if (documentRelative) args.activeContext.baseIri match {
+    if (documentRelative) activeContext.baseIri match {
       case Some(base) =>
         return Some(Url.resolve(value, Some(base)).getOrElse(
           throw JsonLdError(InvalidBaseIRI, s"cannot resolve $value")).serialize)
@@ -133,12 +146,12 @@ object Expansion {
     var activeContext = activeContext0.previousContext match {
       case Some(previous) if !fromMap &&
           (if (obj.size == 1)
-             expandIri(Normal(activeContext0), obj.keys.next(), documentRelative = false, vocab = true) match {
+             expandIri(activeContext0, obj.keys.next(), documentRelative = false, vocab = true) match {
                case Some("@value") | Some("@id") => false
                case _ => true
              }
            else !obj.keys.exists(k =>
-             expandIri(Normal(activeContext0), k, documentRelative = false, vocab = true).contains("@value"))) =>
+             expandIri(activeContext0, k, documentRelative = false, vocab = true).contains("@value"))) =>
         previous
       case _ => activeContext0
     }
@@ -155,12 +168,12 @@ object Expansion {
     var inputType: Option[String] = None
     // type-scoped contexts in lexicographic term order (expand.rs:181-232)
     for ((key, value) <- entries) {
-      if (expandIri(Normal(activeContext), key, documentRelative = false, vocab = true).contains("@type")) {
+      if (expandIri(activeContext, key, documentRelative = false, vocab = true).contains("@type")) {
         value match {
           case arr: JArr =>
             val terms = sortedStringSet(arr.iterator.flatMap(_.asString).toVector)
             val withDefs = terms.map { term =>
-              inputType = expandIri(Normal(activeContext), term, documentRelative = false, vocab = true)
+              inputType = expandIri(activeContext, term, documentRelative = false, vocab = true)
               term
             }.flatMap(term => typeScopedContext.termDefinitions.get(term).map(d => (term, d)))
             for ((term, defn) <- withDefs)
@@ -168,7 +181,7 @@ object Expansion {
                 defn.baseUrl, state, mutable.Set(), overrideProtected = false,
                 propagate0 = false, validateScoped0 = true)
           case JStr(term) =>
-            inputType = expandIri(Normal(activeContext), term, documentRelative = false, vocab = true)
+            inputType = expandIri(activeContext, term, documentRelative = false, vocab = true)
             typeScopedContext.termDefinitions.get(term).foreach { defn =>
               activeContext = ContextProcessor.processContext(activeContext, defn.context,
                 defn.baseUrl, state, mutable.Set(), overrideProtected = false,
@@ -247,7 +260,7 @@ object Expansion {
   ): Unit = {
     val nests = mutable.TreeMap[String, JsonValue]()
     for ((key, value) <- element) {
-      expandIri(Normal(activeContext), key, documentRelative = false, vocab = true) match {
+      expandIri(activeContext, key, documentRelative = false, vocab = true) match {
         case None => // drop keys that could not be expanded
         case Some(expandedProperty) if !(expandedProperty.contains(':') || Iri.isKeyword(expandedProperty)) => // drop
         case Some(expandedProperty) =>
@@ -344,7 +357,7 @@ object Expansion {
     for ((language0, languageValue) <- languageMap) {
       val language =
         if (language0 != "@none" &&
-            !expandIri(Normal(activeContext), language0, documentRelative = false, vocab = true).contains("@none"))
+            !expandIri(activeContext, language0, documentRelative = false, vocab = true).contains("@none"))
           Some(language0)
         else None
       languageValue match {
@@ -387,7 +400,7 @@ object Expansion {
             overrideProtected = false, propagate0 = true, validateScoped0 = true)
         case _ => mapContext0
       }
-      val expandedIndex = expandIri(Normal(mapContext), index,
+      val expandedIndex = expandIri(mapContext, index,
         documentRelative = indexKey == "@id", vocab = indexKey != "@id")
       expandInternal(mapContext, Some(key), indexValue0, baseUrl, state, fromMap = true) match {
         case arr: JArr =>
@@ -416,7 +429,7 @@ object Expansion {
       case Some(ei) if ei != "@none" =>
         if (propertyIndex) {
           val reexpandedIndex = expandValue(mapContext, mapContext.termDefinitions.get(indexKey), JStr(index))
-          expandIri(Normal(mapContext), indexKey, documentRelative = false, vocab = true).foreach { expandedIndexKey =>
+          expandIri(mapContext, indexKey, documentRelative = false, vocab = true).foreach { expandedIndexKey =>
             val array = JArr(reexpandedIndex)
             indexValue.removeKey(expandedIndexKey).foreach {
               case a: JArr => array.appendAll(a)
@@ -453,7 +466,7 @@ object Expansion {
       state: ApiState
   ): Unit = {
     for ((key, _) <- nestedValue.iterator)
-      if (expandIri(Normal(activeContext), key, documentRelative = false, vocab = true).contains("@value"))
+      if (expandIri(activeContext, key, documentRelative = false, vocab = true).contains("@value"))
         throw JsonLdError(InvalidNestValue)
     expandObjectProperties(result, activeContext, typeScopedContext, activeProperty,
       nestedValue.iterator.toVector, baseUrl, inputType, state)
@@ -481,13 +494,13 @@ object Expansion {
         if (is10 && result.contains(key)) throw JsonLdError(CollidingKeywords)
         value match {
           case JStr(iri) =>
-            val expanded = expandIri(Normal(typeScopedContext), iri, documentRelative = true, vocab = true)
+            val expanded = expandIri(typeScopedContext, iri, documentRelative = true, vocab = true)
               .map[JsonValue](JStr.apply).getOrElse(JNull)
             addValue(result, expandedProperty, expanded, asArray = false)
           case arr: JArr =>
             arr.foreach { item =>
               val iri = item.asString.getOrElse(throw JsonLdError(InvalidTypeValue))
-              val expanded = expandIri(Normal(typeScopedContext), iri, documentRelative = true, vocab = true)
+              val expanded = expandIri(typeScopedContext, iri, documentRelative = true, vocab = true)
                 .map[JsonValue](JStr.apply).getOrElse(JNull)
               addValue(result, expandedProperty, expanded, asArray = false)
             }
@@ -496,7 +509,7 @@ object Expansion {
               if (o.isEmpty) new JObj()
               else o.get("@default").flatMap(_.asString) match {
                 case Some(default) =>
-                  JObj("@default" -> expandIri(Normal(typeScopedContext), default, documentRelative = true, vocab = true)
+                  JObj("@default" -> expandIri(typeScopedContext, default, documentRelative = true, vocab = true)
                     .map[JsonValue](JStr.apply).getOrElse(JNull))
                 case None => throw JsonLdError(InvalidTypeValue)
               })
@@ -524,12 +537,12 @@ object Expansion {
       case "@id" =>
         result.put(expandedProperty, value match {
           case JStr(iri) =>
-            expandIri(Normal(activeContext), iri, documentRelative = true, vocab = false)
+            expandIri(activeContext, iri, documentRelative = true, vocab = false)
               .map[JsonValue](JStr.apply).getOrElse(JNull)
           case arr: JArr if options.frameExpansion =>
             JArr.from(arr.iterator.map { item =>
               val iri = item.asString.getOrElse(throw JsonLdError(InvalidIdValue))
-              expandIri(Normal(activeContext), iri, documentRelative = true, vocab = false)
+              expandIri(activeContext, iri, documentRelative = true, vocab = false)
                 .map[JsonValue](JStr.apply).getOrElse(JNull)
             })
           case o: JObj if options.frameExpansion && o.isEmpty => new JObj()
@@ -639,7 +652,7 @@ object Expansion {
     val typeMapping = definition.flatMap(_.typeMapping)
     (typeMapping, value) match {
       case (Some(tm @ ("@id" | "@vocab")), JStr(s)) =>
-        return JObj("@id" -> expandIri(Normal(activeContext), s, documentRelative = true, vocab = tm == "@vocab")
+        return JObj("@id" -> expandIri(activeContext, s, documentRelative = true, vocab = tm == "@vocab")
           .map[JsonValue](JStr.apply).getOrElse(JNull))
       case _ =>
     }

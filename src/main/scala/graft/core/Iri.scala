@@ -94,6 +94,31 @@ object Url {
     parseGeneral(input)
   }
 
+  /** Zero-allocation acceptance scan: true ⇔ `fastParse` would accept.
+    * Well-formedness checks (isIri) only need the verdict — building and
+    * discarding the Url (4 substrings + case class) per unique subject IRI
+    * was a measured JFR site.
+    */
+  private[core] def fastValid(s: String): Boolean = {
+    val n = s.length
+    if (n < 8) return false
+    if (s.charAt(0) <= ' ' || s.charAt(n - 1) <= ' ') return false
+    var i = 0
+    while (i < n && { val c = s.charAt(i); c >= 'a' && c <= 'z' }) i += 1
+    if (i == 0 || i + 3 >= n || s.charAt(i) != ':' || s.charAt(i + 1) != '/' || s.charAt(i + 2) != '/') return false
+    val hostStart = i + 3
+    var j = hostStart
+    while (j < n && { val c = s.charAt(j); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '.' || c == '-' }) j += 1
+    if (j == hostStart) return false
+    if (j < n) { val c = s.charAt(j); if (c != '/' && c != '?' && c != '#') return false }
+    var k = j
+    while (k < n && { val c = s.charAt(k); c != '?' && c != '#' }) {
+      if (s.charAt(k) == '.') return false
+      k += 1
+    }
+    true
+  }
+
   /** The full parse path, bypassing fastParse — exposed so tests can assert
     * fastParse ≡ parseGeneral on every input shape.
     */
@@ -305,6 +330,9 @@ object Iri {
 
   /** /root/reference/src/util.rs:32-34 — valid absolute IRI ⇔ url parse Ok. */
   def isIri(value: String): Boolean = {
+    // zero-alloc accept for the dominant shape; also keeps unique subject
+    // IRIs out of the bounded memo (they evicted the predicates that DO hit)
+    if (Url.fastValid(value)) return true
     val cache = isIriCache.get()
     val hit = cache.get(value)
     if (hit != null) hit.booleanValue()

@@ -61,7 +61,7 @@ object ToRdf {
         val g = if (graphName == "@default") "" else graphName
         for ((subject, node) <- graph.toVector.sortBy(_._1)) {
           if (wellFormedId(subject)) {
-            for ((property, values) <- node.iterator) property match {
+            node.foreachEntry((property, values) => property match {
               case "@id" | "@index" =>
               case "@type" =>
                 values.asArr.foreach(_.foreach { t =>
@@ -87,7 +87,7 @@ object ToRdf {
                     }
                   }
                 })
-            }
+            })
           }
         }
       }
@@ -284,7 +284,7 @@ object ToRdf {
         obj.removeKey("@index").foreach(idx => node.put("@index", idx))
         obj.removeKey("@reverse").foreach { rev =>
           val referencedNode = JObj("@id" -> JStr(id))
-          rev.asObj.foreach(_.foreach { case (property, values) =>
+          rev.asObj.foreach(_.foreachEntry { (property, values) =>
             values.asArr.foreach(_.foreach { value =>
               generateNodeMap(value, nodeMap, gen, activeGraph, Some(referencedNode), Some(property), None)
             })
@@ -296,10 +296,11 @@ object ToRdf {
         obj.removeKey("@included").foreach { inc =>
           generateNodeMap(inc, nodeMap, gen, activeGraph, None, None, None)
         }
-        for ((property0, value) <- obj.sortedEntries) {
+        val subjRef = Some(JStr(id))
+        obj.foreachSorted { (property0, value) =>
           val property = if (property0.startsWith("_:")) gen.generate(Some(property0)) else property0
           if (!node.contains(property)) node.put(property, new JArr())
-          generateNodeMap(value, nodeMap, gen, activeGraph, Some(JStr(id)), Some(property), None)
+          generateNodeMap(value, nodeMap, gen, activeGraph, subjRef, Some(property), None)
         }
       }
     case _ => // scalars shouldn't appear at node-map level in expanded docs

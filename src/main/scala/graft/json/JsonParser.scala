@@ -83,7 +83,7 @@ object JsonWriter {
       g.writeEndArray()
     case o: JObj =>
       g.writeStartObject()
-      o.foreach { case (k, x) => g.writeFieldName(k); writeValue(g, x) }
+      o.foreachEntry { (k, x) => g.writeFieldName(k); writeValue(g, x) }
       g.writeEndObject()
   }
 }

@@ -27,7 +27,7 @@ sealed trait JsonValue {
   def deepCopy: JsonValue = this match {
     case o: JObj =>
       val c = new JObj()
-      o.foreach { case (k, v) => c.put(k, v.deepCopy) }
+      o.foreachEntry((k, v) => c.put(k, v.deepCopy))
       c
     case a: JArr =>
       val c = new JArr()
@@ -74,40 +74,155 @@ object JArr {
   def from(items: IterableOnce[JsonValue]): JArr = { val a = new JArr(); items.iterator.foreach(a.push); a }
 }
 
-/** Mutable insertion-ordered JSON object (LinkedHashMap-backed). */
-final class JObj(private val map: java.util.LinkedHashMap[String, JsonValue]) extends JsonValue {
-  // most JSON-LD objects carry 1–4 keys; the default 16-slot table was a
-  // top Node[]-allocation site in JFR
-  def this() = this(new java.util.LinkedHashMap[String, JsonValue](4))
-  def put(k: String, v: JsonValue): Unit = map.put(k, v)
-  def get(k: String): Option[JsonValue] = Option(map.get(k))
-  def contains(k: String): Boolean = map.containsKey(k)
-  /** Remove and return (reference `Object::remove`). */
-  def removeKey(k: String): Option[JsonValue] = Option(map.remove(k))
-  def size: Int = map.size
-  def isEmpty: Boolean = map.isEmpty
-  def nonEmpty: Boolean = !map.isEmpty
-  def keys: Iterator[String] = { import scala.jdk.CollectionConverters._; map.keySet.iterator.asScala }
-  def iterator: Iterator[(String, JsonValue)] = {
-    import scala.jdk.CollectionConverters._
-    map.entrySet.iterator.asScala.map(e => (e.getKey, e.getValue))
+/** Mutable insertion-ordered JSON object.
+  *
+  * Backed by flat parallel key/value arrays with linear-scan lookup up to
+  * [[JObj.Spill]] entries, spilling to a LinkedHashMap beyond that. Most
+  * JSON-LD objects carry 1–4 keys, where a LinkedHashMap's Entry-per-put and
+  * Node[] table were the two largest allocation sites in the whole engine
+  * (JFR); a linear scan over ≤8 keys also beats hashing on lookup.
+  * Insertion-order semantics are identical to LinkedHashMap: put on an
+  * existing key replaces in place, remove shifts, iteration follows
+  * first-insertion order.
+  */
+final class JObj extends JsonValue {
+  private[this] var ks: Array[String] = null // null until first put, and while spilled
+  private[this] var vs: Array[JsonValue] = null
+  private[this] var n: Int = 0
+  private[this] var big: java.util.LinkedHashMap[String, JsonValue] = null
+
+  @inline private def indexOf(k: String): Int = {
+    var i = 0
+    while (i < n) {
+      val ki = ks(i)
+      if ((ki eq k) || ki == k) return i
+      i += 1
+    }
+    -1
   }
-  def foreach(f: ((String, JsonValue)) => Unit): Unit = iterator.foreach(f)
+
+  def put(k: String, v: JsonValue): Unit = {
+    if (big != null) { big.put(k, v); return }
+    val i = indexOf(k)
+    if (i >= 0) { vs(i) = v; return }
+    if (ks == null) {
+      ks = new Array[String](4); vs = new Array[JsonValue](4)
+    } else if (n == ks.length) {
+      if (n >= JObj.Spill) {
+        big = new java.util.LinkedHashMap[String, JsonValue](n * 2)
+        var j = 0
+        while (j < n) { big.put(ks(j), vs(j)); j += 1 }
+        ks = null; vs = null; n = 0
+        big.put(k, v)
+        return
+      }
+      ks = java.util.Arrays.copyOf(ks, n * 2)
+      vs = java.util.Arrays.copyOf(vs, n * 2)
+    }
+    ks(n) = k; vs(n) = v; n += 1
+  }
+
+  def get(k: String): Option[JsonValue] = {
+    if (big != null) return Option(big.get(k))
+    val i = indexOf(k)
+    if (i >= 0) Some(vs(i)) else None
+  }
+  /** `get` without the Option wrapper (hot paths). */
+  def getOrNull(k: String): JsonValue = {
+    if (big != null) return big.get(k)
+    val i = indexOf(k)
+    if (i >= 0) vs(i) else null
+  }
+  def contains(k: String): Boolean =
+    if (big != null) big.containsKey(k) else indexOf(k) >= 0
+
+  /** Remove and return (reference `Object::remove`). */
+  def removeKey(k: String): Option[JsonValue] = {
+    if (big != null) return Option(big.remove(k))
+    val i = indexOf(k)
+    if (i < 0) return None
+    val v = vs(i)
+    System.arraycopy(ks, i + 1, ks, i, n - i - 1)
+    System.arraycopy(vs, i + 1, vs, i, n - i - 1)
+    n -= 1
+    ks(n) = null; vs(n) = null
+    Some(v)
+  }
+
+  def size: Int = if (big != null) big.size else n
+  def isEmpty: Boolean = size == 0
+  def nonEmpty: Boolean = size != 0
+
+  /** Iterate without allocating tuples (the Tuple2-per-entry of `iterator`
+    * was a top JFR site — prefer this in engine code).
+    */
+  def foreachEntry(f: (String, JsonValue) => Unit): Unit = {
+    if (big != null) {
+      val it = big.entrySet.iterator
+      while (it.hasNext) { val e = it.next(); f(e.getKey, e.getValue) }
+    } else {
+      var i = 0
+      while (i < n) { f(ks(i), vs(i)); i += 1 } // f may not mutate this JObj
+    }
+  }
+
+  /** Keys in insertion order as a fresh array (safe against mutation). */
+  def keyArray: Array[String] = {
+    if (big != null) big.keySet.toArray(new Array[String](big.size))
+    else if (ks == null) JObj.NoKeys
+    else java.util.Arrays.copyOfRange(ks, 0, n).asInstanceOf[Array[String]]
+  }
+
+  /** Keys sorted lexicographically (reference collects into BTreeMap). */
+  def sortedKeyArray: Array[String] = {
+    val a = keyArray
+    java.util.Arrays.sort(a, java.util.Comparator.naturalOrder[String]())
+    a
+  }
+
+  def keys: Iterator[String] = keyArray.iterator
+  def iterator: Iterator[(String, JsonValue)] = {
+    if (big != null) {
+      import scala.jdk.CollectionConverters._
+      big.entrySet.iterator.asScala.map(e => (e.getKey, e.getValue))
+    } else {
+      val kk = ks; val vv = vs // callers never mutate mid-iteration (was CME before)
+      Iterator.tabulate(n)(i => (kk(i), vv(i)))
+    }
+  }
+  def foreach(f: ((String, JsonValue)) => Unit): Unit = foreachEntry((k, v) => f((k, v)))
   /** Entries sorted lexicographically by key (reference collects into BTreeMap). */
-  def sortedEntries: Vector[(String, JsonValue)] = iterator.toVector.sortBy(_._1)
+  def sortedEntries: Vector[(String, JsonValue)] =
+    sortedKeyArray.iterator.map(k => (k, getOrNull(k))).toVector
+  /** Sorted-key iteration without tuple/Vector allocation (hot paths). */
+  def foreachSorted(f: (String, JsonValue) => Unit): Unit = {
+    val a = sortedKeyArray
+    var i = 0
+    while (i < a.length) { f(a(i), getOrNull(a(i))); i += 1 }
+  }
 
   // Order-insensitive equality (serde_json IndexMap PartialEq; relied on at
   // /root/reference/src/context.rs:550-569).
   override def equals(that: Any): Boolean = that match {
     case o: JObj =>
-      o.size == size && iterator.forall { case (k, v) => o.get(k).contains(v) }
+      if (o.size != size) return false
+      var ok = true
+      foreachEntry((k, v) => if (ok && o.getOrNull(k) != v) ok = false)
+      ok
     case _ => false
   }
-  override def hashCode: Int = iterator.foldLeft(0) { case (h, (k, v)) => h + (k.hashCode ^ v.hashCode) }
+  override def hashCode: Int = {
+    var h = 0
+    foreachEntry((k, v) => h += k.hashCode ^ v.hashCode)
+    h
+  }
   override def toString: String = JsonWriter.write(this)
 }
 
 object JObj {
+  /** Entry count beyond which the flat arrays spill to a LinkedHashMap. */
+  final val Spill = 8
+  private[json] val NoKeys = new Array[String](0)
   def apply(entries: (String, JsonValue)*): JObj = { val o = new JObj(); entries.foreach { case (k, v) => o.put(k, v) }; o }
 }
 

@@ -35,10 +35,12 @@ object SyntheticDocs {
     * returns the embedded fragment text. Relative IRIs resolve against the
     * per-span base the pipeline assigns.
     */
-  private def jsonldTemplates: IndexedSeq[(Rng, Long, Int) => String] = IndexedSeq(
+  private val typeSkewPool = IndexedSeq("Article", "Article", "Article", "Person", "Place")
+
+  private val jsonldTemplates: IndexedSeq[(Rng, Long, Int) => String] = IndexedSeq(
     // 0: inline vocab + typed node (rdf:type skew driver)
     (r, d, s) => {
-      val t = r.pick(IndexedSeq("Article", "Article", "Article", "Person", "Place")) // skew toward one class
+      val t = r.pick(typeSkewPool) // skew toward one class
       s"""{"@context":{"@vocab":"http://graft.example/vocab/"},"@id":"http://graft.example/e/${d}_$s","@type":"$t","name":"entity $d-$s","rank":${r.nextInt(100)}}"""
     },
     // 1: prefixes + compact IRIs
@@ -119,6 +121,16 @@ object SyntheticDocs {
           Span("media", null, s"media://bucket/${mix(idx * 31 + s).toHexString}", offset)
       }
     }
-    Doc(f"doc-$idx%012d", spans)
+    Doc(docId(idx), spans)
+  }
+
+  /** ≡ f"doc-$idx%012d" without the per-doc Formatter (a measured JFR site). */
+  private def docId(idx: Long): String = {
+    val sb = new java.lang.StringBuilder(16)
+    sb.append("doc-")
+    val digits = java.lang.Long.toString(idx)
+    var pad = 12 - digits.length
+    while (pad > 0) { sb.append('0'); pad -= 1 }
+    sb.append(digits).toString
   }
 }

@@ -145,6 +145,29 @@ class PropertySpec extends AnyFunSuite {
       assert(Url.parse(u) == Url.parseGeneral(u), s"input=$u")
   }
 
+  test("fastValid accepts exactly when the general parser accepts AND fastParse would") {
+    // fastValid is the zero-alloc acceptance scan used by isIri: it must
+    // never accept anything the general parser rejects, and must stay in
+    // lock-step with fastParse's acceptance set.
+    val genScheme = Gen.oneOf("http", "https", "ftp", "ws", "urn", "ex", "HTTP", "a+b")
+    val genHost = Gen.oneOf("graft.example", "h", "Example.COM", "h:8080", "u@h", "[::1]", "127.0.0.1", "")
+    val genPath = Gen.oneOf("", "/", "/doc/doc-000000000042/span/3", "/a/b", "/a/./b", "/../x", "/p.q/r", "//double", "/UPPER/Case")
+    val genTail = Gen.oneOf("", "?q=1", "#frag", "?q#f", "#f?q", "?", "#")
+    val genUrl = for {
+      s <- genScheme; h <- genHost; p <- genPath; t <- genTail
+      sep <- Gen.oneOf("://", ":", ":/")
+    } yield s + sep + h + p + t
+    forAll(genUrl, n = 300) { u =>
+      if (Url.fastValid(u)) assert(Url.parseGeneral(u).isDefined, s"fastValid accepted, general rejected: $u")
+    }
+    for (u <- Seq(
+      "http://graft.example/doc/doc-000000000001/span/7",
+      "http://graft.example/ns#hasMedia", "http://h", "http://h/", "http://h?q",
+      "http://h/p?a?b#c#d", "http://h/p.x", "http://h:80/p", "http://H/p",
+      " http://h/p", "http://h/p ", "mailto:a@b", "urn:x:y", "_:b0", "rel/ative", ""))
+      assert(Url.fastValid(u) == Url.parseGeneral(u).isDefined || !Url.fastValid(u), s"input=$u")
+  }
+
   test("makeRelative matches url-crate make_relative (incl. the leading-empty-segment case)") {
     def rel(base: String, target: String): Option[String] =
       Url.parse(base).get.makeRelative(Url.parse(target).get)
