@@ -13,7 +13,14 @@ object JsonParser {
     f
   }
 
-  def parse(s: String): JsonValue = {
+  /** Parse via the hand-rolled FastJson scanner (per-span fragments are tiny
+    * and Jackson's per-parse setup dominated — see FastJson). Jackson stays
+    * below as [[parseJackson]], the cross-check oracle in PropertySpec.
+    */
+  def parse(s: String): JsonValue = FastJson.parse(s)
+
+  /** Jackson-streaming reference parser (test oracle for FastJson). */
+  def parseJackson(s: String): JsonValue = {
     val p = factory.createParser(s)
     try {
       val t = p.nextToken()

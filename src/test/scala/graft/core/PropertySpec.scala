@@ -145,6 +145,49 @@ class PropertySpec extends AnyFunSuite {
       assert(Url.parse(u) == Url.parseGeneral(u), s"input=$u")
   }
 
+  test("FastJson ≡ Jackson on every vendored fixture (tree + key order)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/test/resources/w3c")
+    val files = Files.walk(root).iterator.asScala
+      .filter(p => { val s = p.toString; s.endsWith(".jsonld") || s.endsWith(".json") })
+      .toVector
+    assert(files.size > 100, "fixture corpus unexpectedly small")
+    for (f <- files) {
+      val s = new String(Files.readAllBytes(f), "UTF-8")
+      val fast = FastJson.parse(s)
+      val jack = JsonParser.parseJackson(s)
+      // serialized comparison: JsonWriter iterates insertion order, so this
+      // checks values AND key order, not just order-insensitive equality
+      assert(JsonWriter.write(fast) == JsonWriter.write(jack), s"parser divergence on $f")
+    }
+  }
+
+  test("FastJson ≡ Jackson on generated documents and escape-heavy strings") {
+    val genTree = genJson(3)
+    forAll(genTree, n = 200) { v =>
+      val s = JsonWriter.write(v)
+      assert(JsonWriter.write(FastJson.parse(s)) == JsonWriter.write(JsonParser.parseJackson(s)), s"input=$s")
+    }
+    for (s <- Seq(
+      """"a\"b\\c\/d\b\f\n\r\te"""", """"\u0041\u00e9\u4e2d\ud83d\ude00"""",
+      """"\ud800"""", """{"k\u0041":1}""", "\"\\u0000\"",
+      """[0,-0,1e5,1E+5,1e-5,0.5,-0.25,123456789012345678901234567890,1e999,-1e999]""",
+      "[0.1,2.5e-308,1.7976931348623157e308]",
+      "{\"a\":1,\"a\":2}", "[[[[[1]]]]]", "  {\"a\" : [ 1 , 2 ] }  ", "\"\""))
+      assert(JsonWriter.write(FastJson.parse(s)) == JsonWriter.write(JsonParser.parseJackson(s)), s"input=$s")
+  }
+
+  test("FastJson rejects what strict JSON rejects") {
+    for (bad <- Seq(
+      "", "   ", "{\"a\":1,}", "[1,]", "[,1]", "[1 2]", "\"unterminated", "01", "1.", ".5", "+1",
+      "{a:1}", "{\"a\" 1}", "{\"a\":}", "nul", "tru", "falsee{", "{\"a\":1}x", "-", "1e", "1e+",
+      "\"\\u12\"", "\"\\q\"", "\"raw\ncontrol\"", "{", "[", "{\"a\"", "()", "'single'"))
+      assert(
+        (try { FastJson.parse(bad); false } catch { case _: Exception => true }),
+        s"FastJson accepted malformed input: $bad")
+  }
+
   test("fastValid accepts exactly when the general parser accepts AND fastParse would") {
     // fastValid is the zero-alloc acceptance scan used by isIri: it must
     // never accept anything the general parser rejects, and must stay in
