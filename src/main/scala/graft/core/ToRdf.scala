@@ -56,10 +56,14 @@ object ToRdf {
     generateNodeMap(expanded, nodeMap, gen, "@default", None, None, None)
 
     val out = mutable.ArrayBuffer[Triple]()
-    for ((graphName, graph) <- nodeMap.toVector.sortBy(_._1)) {
+    val graphNames = nodeMap.keysIterator.toArray
+    java.util.Arrays.sort(graphNames, java.util.Comparator.naturalOrder[String]())
+    for (graphName <- graphNames; graph = nodeMap(graphName)) {
       if (graphName == "@default" || wellFormedId(graphName)) {
         val g = if (graphName == "@default") "" else graphName
-        for ((subject, node) <- graph.toVector.sortBy(_._1)) {
+        val subjects = graph.keysIterator.toArray
+        java.util.Arrays.sort(subjects, java.util.Comparator.naturalOrder[String]())
+        for (subject <- subjects; node = graph(subject)) {
           if (wellFormedId(subject)) {
             node.foreachEntry((property, values) => property match {
               case "@id" | "@index" =>

@@ -27,6 +27,25 @@ object FastJson {
     v
   }
 
+  // Object keys repeat endlessly across a corpus ("@context", "@id",
+  // "name", ...): intern them per thread so each distinct key is ONE String
+  // — kills a substring per key and makes JObj's reference-equality lookup
+  // fast path hit. Bounded; values are never interned (they are unique).
+  private val keyIntern = ThreadLocal.withInitial[java.util.HashMap[String, String]](
+    () => new java.util.HashMap[String, String](256))
+
+  private def internKey(k: String): String = {
+    if (k.length > 32) return k
+    val m = keyIntern.get()
+    val hit = m.get(k)
+    if (hit != null) hit
+    else {
+      if (m.size >= 4096) m.clear()
+      m.put(k, k)
+      k
+    }
+  }
+
   private final class Cursor(val s: String) {
     var i = 0
     private val n = s.length
@@ -63,7 +82,7 @@ object FastJson {
       while (true) {
         skipWs()
         if (i >= n || s.charAt(i) != '"') fail("expected object key")
-        val k = string()
+        val k = internKey(string())
         skipWs()
         if (i >= n || s.charAt(i) != ':') fail("expected ':'")
         i += 1
