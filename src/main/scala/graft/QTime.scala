@@ -5,7 +5,12 @@ import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32).config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.shuffle.partitions", 32).config("spark.ui.enabled", "false")
+      // same knobs as Bench so QTime numbers are representative
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args) {
       val t0 = System.nanoTime()

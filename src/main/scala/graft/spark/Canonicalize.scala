@@ -80,10 +80,11 @@ object Canonicalize {
     // corpus scale. `rounds` stays the hard cap for pathological graphs.
     val firstCounts = hashes.agg(countDistinct("h"), count(lit(1))).head()
     var distinctHashes = firstCounts.getLong(0)
+    val totalNodes = firstCounts.getLong(1)
     // first-degree hashes already separate every node ⇒ refinement is the
     // identity — skip the join rounds entirely (the overwhelmingly common
     // case for doc-scoped bnodes; same skip as BnodeCanon.canonicalize)
-    var converged = distinctHashes == firstCounts.getLong(1)
+    var converged = distinctHashes == totalNodes
     var r = 0
     while (r < rounds && !converged) {
       val withNbr = inc.join(hashes.withColumnRenamed("node", "other_node").withColumnRenamed("h", "nbr_h"),
@@ -95,7 +96,10 @@ object Canonicalize {
         .agg(sha2(concat_ws("\n", sort_array(collect_list(col("sig")))), 256).as("h"))
         .localCheckpoint(false)
       val d = hashes.agg(countDistinct("h")).head().getLong(0)
-      converged = d == distinctHashes
+      // stop at the WL fixpoint (count unchanged) OR at full separation
+      // (count == nodes): refinement past either is the identity, and each
+      // skipped round is a full corpus-scale join pass
+      converged = d == distinctHashes || d == totalNodes
       distinctHashes = d
       r += 1
     }

@@ -145,6 +145,46 @@ class PropertySpec extends AnyFunSuite {
       assert(Url.parse(u) == Url.parseGeneral(u), s"input=$u")
   }
 
+  test("JObj behaves as an insertion-ordered map across the flat/spill boundary (model test)") {
+    // model: java LinkedHashMap (the previous backing implementation).
+    // Random op sequences crossing the 8-key spill threshold must agree on
+    // iteration order, lookups, and size at every step.
+    val keys = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l")
+    val genOp: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0, keys.size - 1))
+    forAll(Gen.listOfN(60, genOp), n = 80) { ops =>
+      val sut = new JObj()
+      val model = new java.util.LinkedHashMap[String, JsonValue]()
+      var step = 0
+      for ((op, ki) <- ops) {
+        val k = keys(ki)
+        op match {
+          case 0 | 1 => // put (twice as likely as remove)
+            val v = JNum(step.toDouble)
+            sut.put(k, v); model.put(k, v)
+          case 2 =>
+            val a = sut.removeKey(k)
+            val b = Option(model.remove(k))
+            assert(a == b, s"removeKey($k) mismatch at step $step")
+        }
+        step += 1
+        assert(sut.size == model.size)
+        assert(sut.contains(k) == model.containsKey(k))
+        locally {
+          import scala.jdk.CollectionConverters._
+          val m = model.entrySet.iterator.asScala.map(e => (e.getKey, e.getValue)).toVector
+          assert(sut.iterator.toVector == m,
+            s"order diverged after step ${step - 1} op=$op key=$k ops=${ops.take(step).map { case (o, j) => s"$o:${keys(j)}" }.mkString(" ")}")
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val modelEntries = model.entrySet.iterator.asScala.map(e => (e.getKey, e.getValue)).toVector
+      assert(sut.iterator.toVector == modelEntries, "iteration order diverged")
+      assert(sut.keyArray.toVector == modelEntries.map(_._1))
+      assert(sut.sortedEntries == modelEntries.sortBy(_._1))
+      for (k <- keys) assert(sut.get(k) == Option(model.get(k)))
+    }
+  }
+
   test("FastJson ≡ Jackson on every vendored fixture (tree + key order)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
