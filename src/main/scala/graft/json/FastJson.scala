@@ -46,8 +46,19 @@ object FastJson {
     }
   }
 
+  /** Nesting cap: one hostile deeply-nested span must become a per-document
+    * error-channel row, not a StackOverflowError that kills the executor
+    * task (SOE is an Error — the pipeline's Exception handler never sees
+    * it). 512 ≫ any real document; parse/expand/toRdf recursion are all
+    * bounded by the parsed tree depth, so this one cap protects the whole
+    * per-span path. (Deliberate divergence from the Jackson oracle, whose
+    * default cap is 1000 — oracle cross-checks stay under both.)
+    */
+  final val MaxDepth = 512
+
   private final class Cursor(val s: String) {
     var i = 0
+    var depth = 0
     private val n = s.length
 
     def fail(msg: String): Nothing =
@@ -76,9 +87,11 @@ object FastJson {
 
     private def obj(): JObj = {
       i += 1 // '{'
+      depth += 1
+      if (depth > MaxDepth) fail("nesting too deep")
       val o = new JObj()
       skipWs()
-      if (i < n && s.charAt(i) == '}') { i += 1; return o }
+      if (i < n && s.charAt(i) == '}') { i += 1; depth -= 1; return o }
       while (true) {
         skipWs()
         if (i >= n || s.charAt(i) != '"') fail("expected object key")
@@ -92,7 +105,7 @@ object FastJson {
         if (i >= n) fail("unterminated object")
         s.charAt(i) match {
           case ',' => i += 1
-          case '}' => i += 1; return o
+          case '}' => i += 1; depth -= 1; return o
           case _ => fail("expected ',' or '}'")
         }
       }
@@ -101,9 +114,11 @@ object FastJson {
 
     private def arr(): JArr = {
       i += 1 // '['
+      depth += 1
+      if (depth > MaxDepth) fail("nesting too deep")
       val a = new JArr()
       skipWs()
-      if (i < n && s.charAt(i) == ']') { i += 1; return a }
+      if (i < n && s.charAt(i) == ']') { i += 1; depth -= 1; return a }
       while (true) {
         skipWs()
         a.push(value())
@@ -111,7 +126,7 @@ object FastJson {
         if (i >= n) fail("unterminated array")
         s.charAt(i) match {
           case ',' => i += 1
-          case ']' => i += 1; return a
+          case ']' => i += 1; depth -= 1; return a
           case _ => fail("expected ',' or ']'")
         }
       }

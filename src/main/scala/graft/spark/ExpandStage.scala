@@ -133,6 +133,14 @@ object ExpandStage {
             errors += DocError(doc.doc_id, span.offset, e.code.rendered, e.render)
           case e: Exception =>
             errors += DocError(doc.doc_id, span.offset, "loading document failed", String.valueOf(e.getMessage))
+          case _: StackOverflowError =>
+            // belt over FastJson.MaxDepth: expansion recursion is several
+            // frames per JSON level, so a depth-legal but pathological span
+            // could still blow a small executor stack. SOE is an Error — an
+            // Exception-only handler would kill the task (and after retries
+            // the whole 100 TB job) on ONE hostile document. Span state is
+            // thread-local, so unwinding to this boundary is safe.
+            errors += DocError(doc.doc_id, span.offset, "loading document failed", "recursion depth exceeded")
         }
       case "media" =>
         if (span.media_ref != null)

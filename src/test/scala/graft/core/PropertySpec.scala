@@ -218,6 +218,19 @@ class PropertySpec extends AnyFunSuite {
       assert(JsonWriter.write(FastJson.parse(s)) == JsonWriter.write(JsonParser.parseJackson(s)), s"input=$s")
   }
 
+  test("FastJson depth cap: hostile nesting fails cleanly, legal nesting parses") {
+    def nestedArr(d: Int) = "[" * d + "1" + "]" * d
+    def nestedObj(d: Int) = "{\"k\":" * d + "1" + "}" * d
+    assert(FastJson.parse(nestedArr(FastJson.MaxDepth)) != null)
+    assert(FastJson.parse(nestedObj(FastJson.MaxDepth - 1)) != null)
+    for (bad <- Seq(nestedArr(FastJson.MaxDepth + 1), nestedObj(FastJson.MaxDepth + 1), nestedArr(100000))) {
+      val e = intercept[IllegalArgumentException](FastJson.parse(bad))
+      assert(e.getMessage.contains("nesting too deep"))
+    }
+    // siblings at legal depth do not accumulate (depth is per-branch)
+    assert(FastJson.parse(("[" + nestedArr(FastJson.MaxDepth - 1) + "," + nestedArr(FastJson.MaxDepth - 1) + "]")) != null)
+  }
+
   test("FastJson rejects what strict JSON rejects") {
     for (bad <- Seq(
       "", "   ", "{\"a\":1,}", "[1,]", "[,1]", "[1 2]", "\"unterminated", "01", "1.", ".5", "+1",

@@ -45,6 +45,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(triples > 500)
   }
 
+  test("hostile deeply-nested span lands in the error channel; the rest of the doc survives") {
+    val loader = RemoteContextPool.fullLoader
+    val hostile = "[" * 100000 + "1" + "]" * 100000
+    val doc = Doc("doc-hostile", Vector(
+      Span("jsonld", hostile, null, 10),
+      Span("jsonld", """{"@context":{"@vocab":"http://v/"},"@id":"http://e/a","p":"ok"}""", null, 20)))
+    val (ts, es) = ExpandStage.expandDoc(doc, loader, JsonLdOptions(), ExpandStage.aliasDictionary)
+    assert(es.size == 1 && es.head.span_offset == 10, s"errors: $es")
+    assert(ts.exists(t => t.obj_value == "ok"), "healthy span in the same doc must still expand")
+  }
+
   test("end-to-end: generate → expand → materialize → finalize, with lineage") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
