@@ -40,9 +40,14 @@ object FastJson {
     val hit = m.get(k)
     if (hit != null) hit
     else {
+      // JVM-intern so parsed keys are the SAME instance as the engine's
+      // string literals ("@id", "@value", ...) — JObj.indexOf's reference-
+      // equality fast path then hits on every keyword lookup. intern() cost
+      // is paid once per distinct key per thread.
+      val canonical = k.intern()
       if (m.size >= 4096) m.clear()
-      m.put(k, k)
-      k
+      m.put(canonical, canonical)
+      canonical
     }
   }
 

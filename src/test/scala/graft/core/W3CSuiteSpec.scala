@@ -150,17 +150,32 @@ class W3CSuiteSpec extends AnyFunSuite {
 
   // ---- compact ----
   // compact/<id>-{in,context,out}.jsonld : expand(in) then compact with context
+  // compact/<id>-error.txt replaces -out: the rendered error string expected
   private val compactDir = root.resolve("compact")
   for (id <- listCases(compactDir)) {
-    test(s"compact/$id") {
-      val input = JsonParser.parse(readFile(compactDir.resolve(s"$id-in.jsonld")))
-      val ctx = JsonParser.parse(readFile(compactDir.resolve(s"$id-context.jsonld")))
-      val opts = optionsFor(compactDir, id, s"http://example.org/t/$id-in.jsonld")
-      val expected = JsonParser.parse(readFile(compactDir.resolve(s"$id-out.jsonld")))
-      val actual = JsonLdApi.compact(
-        JsonLdInput.Doc(input), Some(ctx), opts, loader)
-      assert(JsonEq.jsonLdEq(actual, expected, ordered = false),
-        s"\nexpected: ${JsonWriter.write(expected)}\nactual:   ${JsonWriter.write(actual)}")
+    val errFile = compactDir.resolve(s"$id-error.txt")
+    if (Files.exists(errFile)) {
+      test(s"compact/$id (negative)") {
+        val input = JsonParser.parse(readFile(compactDir.resolve(s"$id-in.jsonld")))
+        val ctx = JsonParser.parse(readFile(compactDir.resolve(s"$id-context.jsonld")))
+        val opts = optionsFor(compactDir, id, s"http://example.org/t/$id-in.jsonld")
+        val expected = readFile(errFile).trim
+        val err = intercept[JsonLdError] {
+          JsonLdApi.compact(JsonLdInput.Doc(input), Some(ctx), opts, loader)
+        }
+        assert(err.code.rendered == expected, s"got: ${err.render}")
+      }
+    } else {
+      test(s"compact/$id") {
+        val input = JsonParser.parse(readFile(compactDir.resolve(s"$id-in.jsonld")))
+        val ctx = JsonParser.parse(readFile(compactDir.resolve(s"$id-context.jsonld")))
+        val opts = optionsFor(compactDir, id, s"http://example.org/t/$id-in.jsonld")
+        val expected = JsonParser.parse(readFile(compactDir.resolve(s"$id-out.jsonld")))
+        val actual = JsonLdApi.compact(
+          JsonLdInput.Doc(input), Some(ctx), opts, loader)
+        assert(JsonEq.jsonLdEq(actual, expected, ordered = false),
+          s"\nexpected: ${JsonWriter.write(expected)}\nactual:   ${JsonWriter.write(actual)}")
+      }
     }
   }
 }
