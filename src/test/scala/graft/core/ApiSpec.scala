@@ -101,6 +101,22 @@ class ApiSpec extends AnyFunSuite {
     assert(byId("http://e/g").get("@graph").get.asArr.get.size == 1)
   }
 
+  test("compactToRelative gates only the document-URL fallback (lib.rs:323-331)") {
+    // RemoteDocument input, no options.base: context_base = document URL.
+    // compactToRelative=true → @id relativized against it; false → absolute.
+    // (With options.base SET, the base always wins and the flag is moot —
+    // fixture c0026 pins that quirk.)
+    val doc = RemoteDocument("application/ld+json", None,
+      JsonParser.parse("""{"@id":"http://example.org/dir/other","http://p/p":"v"}"""),
+      "http://example.org/dir/doc.jsonld")
+    val ctx = JsonParser.parse("""{"@context":{"p":"http://p/p"}}""")
+    val rel = JsonLdApi.compact(JsonLdInput.Remote(doc), Some(ctx), JsonLdOptions())
+    assert(rel.asObj.get.get("@id").contains(JStr("other")), s"got $rel")
+    val abs = JsonLdApi.compact(JsonLdInput.Remote(doc), Some(ctx),
+      JsonLdOptions(compactToRelative = false))
+    assert(abs.asObj.get.get("@id").contains(JStr("http://example.org/dir/other")), s"got $abs")
+  }
+
   test("compact round-trips its own expansion (expand ∘ compact ≍ expand)") {
     val docTxt = """{"@context":{"@vocab":"http://v/","items":{"@container":"@list"},"label":{"@container":"@language"}},
       "@id":"http://s/","items":[1,2],"label":{"en":"hi"},"plain":"v","typed":{"@value":"x","@type":"http://t/"}}"""

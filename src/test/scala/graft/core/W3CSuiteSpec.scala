@@ -52,6 +52,7 @@ class W3CSuiteSpec extends AnyFunSuite {
       o.get("useNativeTypes").foreach(x => opts = opts.copy(useNativeTypes = x.asBool.get))
       o.get("useRdfType").foreach(x => opts = opts.copy(useRdfType = x.asBool.get))
       o.get("compactArrays").foreach(x => opts = opts.copy(compactArrays = x.asBool.get))
+      o.get("compactToRelative").foreach(x => opts = opts.copy(compactToRelative = x.asBool.get))
       o.get("expandContext").foreach {
         case JStr(iri) => opts = opts.copy(expandContext = Some(JsonOrRef.Ref(iri)))
         case obj: JObj => opts = opts.copy(expandContext = Some(JsonOrRef.Obj(obj)))
