@@ -39,6 +39,81 @@ class PropertySpec extends AnyFunSuite {
     o
   }
 
+  test("keyword-heavy fuzz: expand→toRdf→canonicalize never fails with anything but a clean JsonLdError") {
+    // crash-fuzz for branches the curated fixtures miss: random documents
+    // built from JSON-LD keywords, aliases, IRIs, bnodes, and junk. Spec
+    // violations MUST surface as JsonLdError (→ pipeline error channel);
+    // any other exception is an engine bug that would kill an executor task.
+    val keys = Gen.oneOf(
+      "@id", "@type", "@value", "@language", "@list", "@set", "@reverse", "@graph",
+      "@index", "@nest", "@context", "@direction", "@included", "@json", "@none",
+      "a", "ex:p", "_:b0", "http://p/q", "@foo", "", ":", "x:y")
+    val scalars: Gen[JsonValue] = Gen.oneOf(
+      Gen.const(JNull), Gen.oneOf(true, false).map(JBool(_)),
+      Gen.oneOf("", "v", "en", "rtl", "ltr", "@none", "http://e/x", "_:b1", "rel", "x:y", "@id").map(JStr.apply),
+      Gen.chooseNum(-5, 5).map(n => JNum(n.toDouble)))
+    def tree(depth: Int): Gen[JsonValue] =
+      if (depth <= 0) scalars
+      else Gen.frequency(
+        3 -> scalars,
+        2 -> Gen.listOfN(2, tree(depth - 1)).map(JArr.from(_)),
+        3 -> Gen.listOfN(3, Gen.zip(keys, tree(depth - 1))).map { kvs =>
+          val o = new JObj(); kvs.foreach { case (k, v) => o.put(k, v) }; o
+        })
+    val opts = JsonLdOptions(base = Some("http://base/doc"))
+    // random compaction contexts: term → IRI / keyword alias / full definition
+    val defnObj: Gen[JsonValue] = Gen.listOfN(2, Gen.zip(
+      Gen.oneOf("@id", "@type", "@container", "@language", "@direction", "@reverse", "@prefix", "@nest", "@index"),
+      Gen.oneOf("http://d/", "@id", "@vocab", "@list", "@set", "@language", "@index", "en", "rtl", "true", "@nest", "x:y")
+        .map(JStr.apply))).map { kvs => val o = new JObj(); kvs.foreach { case (k, v) => o.put(k, v) }; o }
+    val ctxGen: Gen[JObj] = Gen.listOfN(3, Gen.zip(
+      Gen.oneOf("t", "u", "ex", "id2", "@vocab", "@language", "@base"),
+      Gen.frequency[JsonValue](
+        3 -> Gen.oneOf("http://c/", "@id", "@type", "http://c/x", "x:y", "en").map(JStr.apply),
+        1 -> Gen.const(JNull),
+        2 -> defnObj))).map { kvs =>
+      val inner = new JObj(); kvs.foreach { case (k, v) => inner.put(k, v) }
+      JObj("@context" -> inner)
+    }
+    forAll(Gen.zip(tree(4), ctxGen), n = 400) { case (doc, ctx) =>
+      try {
+        val expanded = JsonLdApi.expand(JsonLdInput.Doc(doc), opts)
+        val triples = ToRdf.toRdf(expanded, opts)
+        BnodeCanon.canonicalize(triples, scopeSalt = "fuzz")
+        JsonLdApi.compact(JsonLdInput.Doc(expanded.deepCopy), Some(ctx), opts)
+        ()
+      } catch {
+        case _: JsonLdError => // clean spec error — fine
+        case e: Throwable => fail(s"engine threw ${e.getClass.getName}: ${e.getMessage}\ninput: ${JsonWriter.write(doc)}\nctx: ${JsonWriter.write(ctx)}")
+      }
+    }
+  }
+
+  test("fromRdf fuzz: arbitrary datasets (incl. broken rdf:first/rest shapes) serialize cleanly") {
+    val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val genTerm = Gen.oneOf("_:b0", "_:b1", "_:b2", "http://s/a", "http://s/b", RDF + "nil")
+    val genPred = Gen.oneOf(RDF + "first", RDF + "rest", RDF + "type", "http://p/p", "http://p/q")
+    val genObj: Gen[(String, String, String, String)] = Gen.oneOf(
+      genTerm.map(t => if (t.startsWith("_:")) ("bnode", t, "", "") else ("iri", t, "", "")),
+      Gen.oneOf("v", "42", "true").map(l => ("literal", l, "http://www.w3.org/2001/XMLSchema#string", "")),
+      Gen.const(("literal", "x", RDF + "langString", "en")))
+    val genTriple = for {
+      s <- genTerm; p <- genPred; o <- genObj
+      g <- Gen.oneOf("", "_:g0", "http://g/")
+    } yield Triple(s, p, o._1, o._2, o._3, o._4, g)
+    val opts = JsonLdOptions()
+    forAll(Gen.listOfN(8, genTriple), n = 300) { ts =>
+      try {
+        val out = JsonLdApi.fromRdf(ts.toVector, opts)
+        JsonLdApi.expand(JsonLdInput.Doc(out), opts) // result must re-expand cleanly
+        ()
+      } catch {
+        case _: JsonLdError =>
+        case e: Throwable => fail(s"fromRdf threw ${e.getClass.getName}: ${e.getMessage}\ntriples: $ts")
+      }
+    }
+  }
+
   test("expansion is idempotent: expand(expand(x)) == expand(x)") {
     forAll(genDoc) { doc =>
       val opts = JsonLdOptions(base = Some("http://base/doc"))
