@@ -158,7 +158,15 @@ object Expansion {
     if (propertyScoped.nonEmpty)
       activeContext = ContextProcessor.processContext(activeContext, propertyScoped, definition.get.baseUrl,
         state, mutable.Set(), overrideProtected = true, propagate0 = true, validateScoped0 = true)
-    // keys always iterated in lexicographic order (BTreeMap collect, expand.rs:163)
+    // Keys iterated in lexicographic order UNCONDITIONALLY — a deliberate
+    // divergence from the reference's insertion-order loop (expand.rs:181,
+    // :234). Like the reference, we accumulate reverse-property values
+    // directly into result["@reverse"] (expand.rs:414-438) instead of the
+    // spec's end-attached local reverse map; under insertion order a
+    // reverse TERM processed before a literal "@reverse" key then trips the
+    // colliding-keywords guard (expand.rs:725 fires for any keyword already
+    // present). Sorted keys put "@"-keywords first and keep the spec
+    // outcome (fixture t0012 pins this).
     val entries = obj.sortedEntries
     entries.find(_._1 == "@context").foreach { case (_, context) =>
       activeContext = ContextProcessor.processContext(activeContext, contextsFromJson(context), baseUrl,
