@@ -89,6 +89,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("framing fuzz: arbitrary frames against arbitrary documents never crash the engine") {
+    val frameKeys = Gen.oneOf(
+      "@id", "@type", "@embed", "@explicit", "@requireAll", "@omitDefault", "@default",
+      "@value", "@language", "@reverse", "@graph", "http://p/q", "ex:p", "a")
+    val frameVals: Gen[JsonValue] = Gen.oneOf(
+      Gen.const(JNull), Gen.oneOf(true, false).map(JBool(_)),
+      Gen.oneOf("@always", "@never", "@once", "@null", "http://e/x", "ex:T", "T", "en", "").map(JStr.apply),
+      Gen.const(new JObj()))
+    def frameTree(depth: Int): Gen[JsonValue] =
+      if (depth <= 0) frameVals
+      else Gen.frequency(
+        2 -> frameVals,
+        1 -> Gen.listOfN(2, frameTree(depth - 1)).map(JArr.from(_)),
+        2 -> Gen.listOfN(2, Gen.zip(frameKeys, frameTree(depth - 1))).map { kvs =>
+          val o = new JObj(); kvs.foreach { case (k, v) => o.put(k, v) }; o
+        })
+    val docGen = Gen.oneOf(
+      """{"@context":{"ex":"http://example.org/"},"@graph":[{"@id":"ex:a","@type":"ex:T","ex:p":{"@id":"ex:b"}},{"@id":"ex:b","ex:q":"v"}]}""",
+      """{"@context":{"ex":"http://example.org/"},"ex:p":[{"ex:q":{"ex:r":"deep"}},{"@id":"ex:c"}]}""",
+      """{"@id":"http://s/","http://p/q":[{"@value":"x","@language":"en"},{"@list":[1,2]}]}""")
+    val opts = JsonLdOptions(base = Some("http://base/doc"))
+    forAll(Gen.zip(docGen, frameTree(3)), n = 300) { case (docTxt, frame) =>
+      val frameObj = frame match { case o: JObj => o; case other => JObj("@graph" -> other) }
+      try {
+        JsonLdApi.frame(JsonLdInput.Doc(JsonParser.parse(docTxt)), frameObj, opts)
+        ()
+      } catch {
+        case _: JsonLdError =>
+        case e: Throwable => fail(s"frame threw ${e.getClass.getName}: ${e.getMessage}\nframe: ${JsonWriter.write(frameObj)}")
+      }
+    }
+  }
+
   test("fromRdf fuzz: arbitrary datasets (incl. broken rdf:first/rest shapes) serialize cleanly") {
     val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val genTerm = Gen.oneOf("_:b0", "_:b1", "_:b2", "http://s/a", "http://s/b", RDF + "nil")
