@@ -24,6 +24,14 @@ class OpsSpec extends AnyFunSuite {
     assert(d.count() == 5)
   }
 
+  test("exactByHash is keep/count-equivalent to exact (content-address replaces text in the shuffle)") {
+    val byText = DedupOps.exact(docs).select("keep_id", "dup_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val byHash = DedupOps.exactByHash(docs).select("keep_id", "dup_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(byText == byHash)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = DedupOps.minhashLsh(docs, bands = 16, threshold = 0.4).collect()
     val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
