@@ -52,7 +52,11 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").count()
       all.get("q01_agg_pricing").foreach(fn => fn(spark, sfDir).count())
-    } catch { case _: Throwable => }
+    } catch {
+      // NonFatal only: an OOM/linkage error here must surface now, not
+      // resurface confusingly inside the first timed query
+      case scala.util.control.NonFatal(e) => System.err.println(s"[bench] warmup failed: $e")
+    }
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>
         val t0 = System.nanoTime()
@@ -180,29 +184,47 @@ object Bench {
           // spark-layer ratio sample the same host-drift windows
     }
 
-    // best-of-3 reps inside each submission strips JIT/host noise (the
-    // sandbox host throughput drifts ±30% minute-to-minute; see BENCH.md)
     var mode = "local-cluster-executors"
     val hwCeiling = hardwareCeiling()
     val engLeg = engineCeiling()
-    // interleave engine-N, cluster-N, engine-4N, cluster-4N (twice, best per
-    // leg): the host's delivered throughput drifts ±30% minute-to-minute, so
-    // a single N-then-4N pair makes the ratio a lottery (measured 0.50, 0.68
-    // and 0.74 for identical code in adjacent windows). Pairing each engine
-    // leg with its cluster leg keeps the spark-layer ratio drift-consistent.
+    // interleave engine-N, cluster-N, engine-4N, cluster-4N per round: the
+    // host's delivered throughput drifts ±30% minute-to-minute, so a single
+    // N-then-4N pair makes the ratio a lottery (measured 0.50, 0.68 and 0.74
+    // for identical code in adjacent windows). Pairing each engine leg with
+    // its cluster leg keeps the spark-layer ratio drift-consistent.
     var rounds = Vector((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
-    if (!rounds.head._2.isNaN && !rounds.head._4.isNaN)
+    if (!rounds.head._2.isNaN && !rounds.head._4.isNaN) {
+      // ≥3 rounds so a median exists and one degraded-host window can be
+      // rejected (round 1's best-ratio selection reported efficiency 5.3 —
+      // physically impossible — off one 46 s degraded N leg; never again)
       rounds :+= ((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
+      rounds :+= ((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
+    }
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val valid = rounds.filter(r => !r._2.isNaN && !r._4.isNaN)
+    // leg-level plausibility filter: a round whose N or 4N cluster leg
+    // deviates >2× from the median of that leg across rounds sampled a
+    // degraded-host window — its ratio is a drift artifact, drop it
+    val (kept, dropped) =
+      if (valid.size < 2) (valid, Vector.empty[(Double, Double, Double, Double)])
+      else {
+        val mN = median(valid.map(_._2)); val m4 = median(valid.map(_._4))
+        valid.partition(r =>
+          r._2 / mN < 2.0 && mN / r._2 < 2.0 && r._4 / m4 < 2.0 && m4 / r._4 < 2.0)
+      }
     // a ratio must come from ONE drift window: taking min over legs ACROSS
     // rounds can pair a fast N leg with a slow 4N leg from different windows
     // (measured 0.38 that way in a window whose per-round ratios were fine).
-    // Report the round with the best cluster ratio, with ITS engine ceiling.
-    val (e1, t1x0, e4, t4x0) =
-      rounds.maxBy { case (_, t1, _, t4) => if (t4.isNaN || t1.isNaN) Double.MinValue else t1 / t4 }
-    var t1x = t1x0
-    var t4x = t4x0
-    val engCeiling = (e1 / e4) / 4.0
-    if (t1x.isNaN || t4x.isNaN) {
+    // Report the MEDIAN-ratio surviving round, with ITS engine ceiling.
+    var t1x = Double.NaN
+    var t4x = Double.NaN
+    var engCeiling = Double.NaN
+    if (kept.nonEmpty) {
+      val byRatio = kept.sortBy(r => r._2 / r._4)
+      val (e1, t1c, e4, t4c) = byRatio(byRatio.size / 2)
+      t1x = t1c; t4x = t4c
+      engCeiling = (e1 / e4) / 4.0
+    } else {
       // fallback: thread-level proxy in fresh in-process sessions
       mode = "local-threads"
       def threadRun(n: Int): Double = {
@@ -214,11 +236,29 @@ object Bench {
       t4x = threadRun(32)
     }
     val efficiency = (t1x / t4x) / 4.0
+    val sparkLayer = efficiency / engCeiling // NOT clamped: >1 means suspect, surface it
+    // efficiency above ~1.05 (or a spark layer reading above the engine
+    // ceiling by >5%) is physically impossible on one box — flag, don't hide
+    val suspect = efficiency > 1.05 || sparkLayer > 1.05 || kept.isEmpty
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val pipe = f"""{"docs":40000,"triples":$nTriples,"sec":$tPipe%.3f,"triples_per_sec":$triplesPerSec%.1f}"""
-    val scaling = f"""{"mode":"$mode","executors_n":1,"executors_4n":4,"cores_per_executor":8,"docs":${if (mode == "local-cluster-executors") clusterProbeDocs else 300000},"t_n_sec":$t1x%.3f,"t_4n_sec":$t4x%.3f,"efficiency_n_to_4n":$efficiency%.3f,"hw_ceiling_8_to_32_threads":$hwCeiling%.3f,"engine_ceiling_1x8_vs_4x8_jvms":$engCeiling%.3f,"spark_layer_efficiency":${math.min(efficiency / engCeiling, 1.0)}%.3f}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipe,"scaling":$scaling}""")
+    def jd(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
+    val roundsJson = rounds.map { case (e1, t1, e4, t4) =>
+      val ratio = if (t1.isNaN || t4.isNaN) Double.NaN else (t1 / t4) / 4.0
+      s"""{"engine_n_sec":${jd(e1)},"cluster_n_sec":${jd(t1)},"engine_4n_sec":${jd(e4)},"cluster_4n_sec":${jd(t4)},"efficiency":${jd(ratio)}}"""
+    }.mkString("[", ",", "]")
+    val scaling = s"""{"mode":"$mode","executors_n":1,"executors_4n":4,"cores_per_executor":8,"docs":${if (mode == "local-cluster-executors") clusterProbeDocs else 300000},"t_n_sec":${jd(t1x)},"t_4n_sec":${jd(t4x)},"efficiency_n_to_4n":${jd(efficiency)},"suspect":$suspect,"rounds":$roundsJson,"rounds_dropped":${dropped.size},"hw_ceiling_8_to_32_threads":${jd(hwCeiling)},"engine_ceiling_1x8_vs_4x8_jvms":${jd(engCeiling)},"spark_layer_efficiency":${jd(sparkLayer)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipe,"scaling":$scaling}"""
+    // bare-JSON file: sbt prefixes stdout with [info]/[error], which broke the
+    // driver's tail-scrape in round 1 ("parsed": null) — a known file never does
+    try {
+      val out = new java.io.File("target/bench.json")
+      out.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] bench.json write failed: $e") }
+    println(line)
   }
 }

@@ -178,8 +178,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "d03_text_features" -> ((s, d) => {
+      // the ANSI-expressible half of text analysis (DuckDB-oracled); the
+      // engine-specific columns (BPE-ish tokens, lang-id, xxhash fingerprint)
+      // live in d07 under the rows-only check
       TextOps.analyze(t(s, d, "documents"))
-        .select("doc_id", "tokens_ws", "tokens_bpe", "punct_ratio", "stopword_ratio", "quality", "lang_id", "fingerprint")
+        .select(col("doc_id"), col("tokens_ws").cast("long").as("tokens_ws"),
+          col("punct_ratio"), col("stopword_ratio"), col("quality"))
+        .orderBy("doc_id")
+    }),
+    "d07_text_engine_features" -> ((s, d) => {
+      TextOps.analyze(t(s, d, "documents"))
+        .select("doc_id", "tokens_bpe", "lang_id", "fingerprint")
         .orderBy("doc_id")
     }),
     "d04_minhash_lsh" -> ((s, d) => {
@@ -192,6 +201,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val queries = emb.orderBy("vec_id").limit(10)
       SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long")) // DuckDB row_number is BIGINT
         .orderBy("query_id", "rank")
     }),
     "e02_ann_lsh" -> ((s, d) => {
@@ -326,6 +336,21 @@ object SparkEntry {
         .join(frames, Seq("media_ref"), "left")
         .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
         .orderBy("media_ref")
+    }),
+    "m03_resize_math" -> ((s, d) => {
+      // the ANSI-expressible half of m02: the SAME resize operator
+      // (aspect-preserving scale, long-edge cap, no upscale) applied to
+      // dimensions derived from a parquet table, so DuckDB can oracle the
+      // scale/out-dim arithmetic (m02's stub-decoded metadata is JVM-hash
+      // -derived and stays rows-only)
+      val dims = t(s, d, "part").select(col("p_partkey"),
+        (lit(64) + pmod(col("p_partkey") * 7, lit(1024))).cast("long").as("width"),
+        (lit(64) + pmod(col("p_partkey") * 13, lit(1024))).cast("long").as("height"))
+      MultimodalOps.resize(dims)
+        .select(col("p_partkey"), col("width"), col("height"), col("scale"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"))
+        .orderBy("p_partkey")
     })
   )
 
@@ -371,8 +396,43 @@ object SparkEntry {
     "d06_dedup_exact_hash" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1 ORDER BY 2""",
     "d02_token_counts" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens_ws FROM documents ORDER BY doc_id"""
-    // d03..m01: engine-internal (xxhash64 signatures, JSON-LD expansion, LSH
-    // buckets) — not ANSI-expressible; driver applies the rows-only check.
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens_ws FROM documents ORDER BY doc_id""",
+    "d03_text_features" ->
+      """WITH f AS (
+           SELECT doc_id, length(text) AS n,
+             (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / greatest(length(text)::DOUBLE, 1.0) AS praw,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as')))::DOUBLE
+               / greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> len(t) > 0))::DOUBLE, 1.0) AS sraw,
+             coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0), t -> len(t))), 0)::DOUBLE
+               / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0))::DOUBLE, 1.0) AS mwl,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tokens_ws
+           FROM documents)
+         SELECT doc_id, tokens_ws, round(praw, 6) AS punct_ratio, round(sraw, 6) AS stopword_ratio,
+           round(least(n::DOUBLE / 500.0, 1.0) * 0.4
+             + (CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.4 END) * 0.2
+             + (CASE WHEN sraw BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+             + (CASE WHEN mwl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+         FROM f ORDER BY doc_id""",
+    "e01_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 10),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS cand_id,
+                  round(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                        / greatest(sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                                   * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 1e-12), 6) AS cosine
+           FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+         ranked AS (SELECT query_id, cand_id, cosine,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank FROM scored)
+         SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m03_resize_math" ->
+      """WITH m AS (SELECT p_partkey, 64 + (p_partkey * 7) % 1024 AS width, 64 + (p_partkey * 13) % 1024 AS height FROM part),
+         r AS (SELECT p_partkey, width, height, round(least(1.0, 256.0 / greatest(width, height)), 6) AS scale FROM m)
+         SELECT p_partkey, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, scale,
+           CAST(greatest(1, CAST(round(width * scale, 0) AS INT)) AS BIGINT) AS out_width,
+           CAST(greatest(1, CAST(round(height * scale, 0) AS INT)) AS BIGINT) AS out_height
+         FROM r ORDER BY p_partkey"""
+    // d04/d05/d07, e02/e03/e04, j*, m01/m02: engine-internal (xxhash64 / LSH
+    // signatures, JSON-LD expansion, stub-decoded metadata) — not
+    // ANSI-expressible; driver applies the rows-only check.
   )
 }

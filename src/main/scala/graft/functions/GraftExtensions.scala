@@ -19,5 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecCosine(children(0), children(1))
     ))
+    ext.injectFunction((
+      FunctionIdentifier("vec_lsh_signature"),
+      VecLshSignature.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val planes = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"vec_lsh_signature: planes must be an integer literal, got $other")
+        }
+        VecLshSignature(children(0), planes)
+      }
+    ))
   }
 }

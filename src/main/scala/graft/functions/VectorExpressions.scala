@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` embedding columns.
@@ -72,4 +72,86 @@ object VecCosine {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[VecCosine].getName, null, "vec_cosine",
     "_FUNC_(a, b) - cosine similarity between two float vectors.", "")
+}
+
+/** Random-hyperplane LSH signature over an `array<float>` embedding: bit p of
+  * the result is the sign of `dot(vec, plane_p)`, where plane `p`'s weight at
+  * dimension `i` is a deterministic splitmix64-derived value in [-1, 1).
+  *
+  * Replaces the interpreted-HOF formulation
+  * (`zip_with(vec, transform(sequence(...), xxhash64(...)), ...)` +
+  * `aggregate`) that dominated the e02/e03 signature stage — higher-order
+  * functions are interpreted per row AND inlined per use (BENCH.md), while
+  * this expression is one fused Java loop inside whole-stage codegen.
+  * `planes` must be ≤ 63 (bit-packed into one long).
+  */
+case class VecLshSignature(child: Expression, planes: Int)
+    extends UnaryExpression {
+
+  require(planes > 0 && planes <= 63, s"planes must be in [1, 63], got $planes")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_lsh_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    VecLshSignature.compute(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig")
+      val nd = ctx.freshName("nd")
+      val acc = ctx.freshName("acc")
+      val z = ctx.freshName("z")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      s"""
+         |long $sig = 0L;
+         |int $nd = $a.numElements();
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $nd; $i++) {
+         |    long $z = ((long) $p * 0x2545F4914F6CDD1DL + (long) $i) + 0x9E3779B97F4A7C15L;
+         |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |    $z = $z ^ ($z >>> 31);
+         |    $acc += (double) $a.getFloat($i) * ((double) $z / 9.223372036854776E18);
+         |  }
+         |  if ($acc >= 0.0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecLshSignature =
+    copy(child = newChild)
+}
+
+object VecLshSignature {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[VecLshSignature].getName, null, "vec_lsh_signature",
+    "_FUNC_(vec, planes) - random-hyperplane LSH signature (long) of a float vector.", "")
+
+  /** Interpreted twin of the generated code — loop order and FP accumulation
+    * order are identical, so eval and codegen agree bit-for-bit.
+    */
+  def compute(v: ArrayData, planes: Int): Long = {
+    var sig = 0L
+    val nd = v.numElements()
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < nd) {
+        var z = (p.toLong * 0x2545F4914F6CDD1DL + i.toLong) + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        acc += v.getFloat(i).toDouble * (z.toDouble / 9.223372036854776e18)
+        i += 1
+      }
+      if (acc >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
 }

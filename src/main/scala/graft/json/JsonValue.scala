@@ -185,9 +185,14 @@ final class JObj extends JsonValue {
     if (big != null) {
       import scala.jdk.CollectionConverters._
       big.entrySet.iterator.asScala.map(e => (e.getKey, e.getValue))
-    } else {
-      val kk = ks; val vv = vs // callers never mutate mid-iteration (was CME before)
-      Iterator.tabulate(n)(i => (kk(i), vv(i)))
+    } else if (n == 0) Iterator.empty
+    else {
+      // eager snapshot: a removeKey during iteration shifts the shared backing
+      // arrays under a lazy view and silently yields wrong pairs (the old
+      // LinkedHashMap at least failed fast with CME)
+      val kk = java.util.Arrays.copyOfRange(ks.asInstanceOf[Array[AnyRef]], 0, n)
+      val vv = java.util.Arrays.copyOfRange(vs.asInstanceOf[Array[AnyRef]], 0, n)
+      Iterator.tabulate(n)(i => (kk(i).asInstanceOf[String], vv(i).asInstanceOf[JsonValue]))
     }
   }
   def foreach(f: ((String, JsonValue)) => Unit): Unit = foreachEntry((k, v) => f((k, v)))

@@ -37,30 +37,37 @@ object SimilarityOps {
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim i weight =
-    * hash-derived value in [-1,1]. Computed as a Column program against the
-    * vector — no driver-side matrix needed (works at any dimension).
+  /** Random-hyperplane LSH signature: bit p = sign of the dot product with a
+    * deterministic pseudo-random plane (splitmix64-derived weights in [-1,1)).
+    * Native codegen expression [[graft.functions.VecLshSignature]] — one fused
+    * Java loop inside whole-stage codegen; the previous
+    * `zip_with`+`transform`+`aggregate` formulation was interpreted per plane
+    * × per row (the interpreted-HOF tax measured at 30× on the minhash
+    * kernels, BENCH.md). No driver-side matrix needed — works at any dim.
     */
-  private def planeSign(vec: Column, p: Int): Column = {
-    // sum_i vec[i] * w(p, i), w in [-1,1] from xxhash64(p, i)
-    val weighted = zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
-      i => (xxhash64(lit(p), i).cast("double") / lit(9.223372036854776e18d))),
-      (v, w) => v * w)
-    when(aggregate(weighted, lit(0.0d), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
-  }
+  def lshSignature(vec: Column, planes: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.VecLshSignature(
+        org.apache.spark.sql.GraftBridge.expression(vec), planes))
 
-  def lshSignature(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map(p => shiftleft(planeSign(vec, p).cast("long"), p))
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
-  /** Self-join candidates within identical LSH buckets. */
-  def lshCandidates(embeddings: DataFrame, idCol: String, vecCol: String, planes: Int = 12): DataFrame = {
+  /** Self-join candidates within identical LSH buckets.
+    *
+    * Frequent-bucket skipping (mirrors `DedupOps.minhashLsh`): a bucket
+    * holding more than `maxBucket` vectors is non-discriminative — on a
+    * clustered/degenerate corpus (many zero or near-identical embeddings
+    * collapsing into one bucket) the self-join would otherwise go O(n²).
+    * Candidate count is bounded by buckets × maxBucket² / 2.
+    */
+  def lshCandidates(embeddings: DataFrame, idCol: String, vecCol: String, planes: Int = 12,
+      maxBucket: Int = 1000): DataFrame = {
     val sig = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), planes).as("bucket"))
       .localCheckpoint(false) // signatures computed once, not per join side
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val bucketSizes = sig.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+    val capped = sig.join(broadcast(bucketSizes.filter(col("bsz") > maxBucket)),
+      Seq("bucket"), "left_anti")
+    val a = capped.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = capped.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
   }
 
@@ -117,11 +124,18 @@ object SimilarityOps {
       nCells: Int = 16, iters: Int = 4, sampleCap: Int = 8192): Array[Array[Double]] = {
     // hash-thinned then id-ordered-capped: deterministic for any partitioning.
     // mod 4 keeps enough rows at small scale; the cap bounds driver memory.
-    val sample = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val thinned = base
       .filter(pmod(xxhash64(col("id")), lit(4)) === 0)
       .orderBy("id").limit(sampleCap)
       .collect().map(_.getSeq[Float](1))
-    require(sample.nonEmpty, "ivfTrain: empty sample — corpus too small or id hash degenerate")
+    // tiny/degenerate corpora: hash thinning can leave fewer rows than cells —
+    // fall back to the un-thinned deterministic sample instead of silently
+    // training fewer centroids (or throwing on zero rows)
+    val sample =
+      if (thinned.length >= nCells) thinned
+      else base.orderBy("id").limit(sampleCap).collect().map(_.getSeq[Float](1))
+    require(sample.nonEmpty, "ivfTrain: empty corpus")
     var cents = sample.take(nCells).map(v => normalize(v.map(_.toDouble).toArray))
     for (_ <- 1 to iters) {
       val dim = cents.map(_.length).max

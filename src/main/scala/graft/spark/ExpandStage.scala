@@ -105,9 +105,12 @@ object ExpandStage {
     var dup = false
     var k = 1
     while (k < doc.spans.size) {
-      val d = doc.spans(k).offset - doc.spans(k - 1).offset
-      if (d < 0) preSorted = false
-      if (d == 0) dup = true
+      // direct comparison, not a subtraction: offsets near Int.MinValue/MaxValue
+      // would overflow a difference and misclassify the span list
+      val prev = doc.spans(k - 1).offset
+      val cur = doc.spans(k).offset
+      if (cur < prev) preSorted = false
+      if (cur == prev) dup = true
       k += 1
     }
     val sorted = if (preSorted) doc.spans else doc.spans.sortBy(_.offset)

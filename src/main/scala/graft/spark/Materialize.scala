@@ -24,9 +24,17 @@ object Materialize {
 
   def bucketOf(buckets: Int) = pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
 
+  /** Existence check through the Hadoop FileSystem for the path's scheme —
+    * java.io.File is local-FS-only and silently reports false on HDFS/S3,
+    * which would rewrite staging (and ignore lineage) every run.
+    */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
-    val p = new java.io.File(s"$outDir/lineage")
-    if (!p.exists()) Set.empty
+    if (!pathExists(spark, s"$outDir/lineage")) Set.empty
     else {
       import spark.implicits._
       spark.read.parquet(s"$outDir/lineage")
@@ -35,8 +43,7 @@ object Materialize {
   }
 
   private def attemptsSoFar(spark: SparkSession, outDir: String): Map[Int, Int] = {
-    val p = new java.io.File(s"$outDir/lineage")
-    if (!p.exists()) Map.empty
+    if (!pathExists(spark, s"$outDir/lineage")) Map.empty
     else {
       import spark.implicits._
       spark.read.parquet(s"$outDir/lineage").groupBy("bucket").agg(max("attempt").as("a"))
@@ -71,10 +78,14 @@ object Materialize {
     // resumed run re-reads staging instead of recomputing the bucketing.
     // (An earlier formulation used .cache() — at 10^12 docs that pins the
     // whole corpus in executor memory/disk and dies with any executor; a
-    // staged table is the durable equivalent. Bucket count is part of the
-    // path so a re-run with different `buckets` never reads a stale layout.)
-    val stagingDir = s"$outDir/staging_b$buckets"
-    if (!new java.io.File(s"$stagingDir/_SUCCESS").exists()) {
+    // staged table is the durable equivalent. Bucket count AND an input
+    // fingerprint — the analyzed plan's semantic hash, which covers source
+    // paths/shape without scanning data — are part of the path, so a re-run
+    // with a different bucket count or a different input never silently
+    // resolves to stale staging.)
+    val inputTag = Integer.toHexString(docs.queryExecution.analyzed.semanticHash())
+    val stagingDir = s"$outDir/staging_b${buckets}_$inputTag"
+    if (!pathExists(spark, s"$stagingDir/_SUCCESS")) {
       docs.withColumn("bucket", bucketOf(buckets))
         .repartition(col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stagingDir)

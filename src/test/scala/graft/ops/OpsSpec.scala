@@ -121,6 +121,51 @@ class OpsSpec extends AnyFunSuite {
     assert(part == bfTop, s"\nbf top1: $bfTop\nivf top1: $part")
   }
 
+  test("LSH signature: codegen result matches the interpreted JVM twin") {
+    val raw = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 13 + d * 5) % 17 - 8) / 8.0f))
+    }
+    val vecs = raw.toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"), SimilarityOps.lshSignature(col("embedding"), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    raw.foreach { case (id, v) =>
+      val expected = graft.functions.VecLshSignature.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), 12)
+      assert(got(id) == expected, s"vec $id: codegen ${got(id)} != eval $expected")
+    }
+    // SQL surface (registered through GraftExtensions)
+    val viaSql = spark.sql(
+      "SELECT vec_lsh_signature(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)), 12) AS s")
+      .collect()(0).getLong(0)
+    val direct = graft.functions.VecLshSignature.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0f, -0.5f)), 12)
+    assert(viaSql == direct)
+  }
+
+  test("lshCandidates caps frequent buckets: degenerate near-identical corpus stays bounded") {
+    // 500 near-identical vectors collapse into one (or very few) buckets —
+    // without the cap the self-join is O(n²) (~125k pairs here)
+    val vecs = (0 until 500).map { i =>
+      (i.toLong, Array(1.0f, 0.0f, 0.0f, 1e-4f * (i % 7)))
+    }.toDF("vec_id", "embedding")
+    val uncapped = SimilarityOps.lshCandidates(vecs, "vec_id", "embedding",
+      planes = 8, maxBucket = Int.MaxValue).count()
+    assert(uncapped >= 50000L, s"expected degenerate O(n²) explosion, got $uncapped")
+    val capped = SimilarityOps.lshCandidates(vecs, "vec_id", "embedding",
+      planes = 8, maxBucket = 50).count()
+    // any surviving bucket has ≤ maxBucket rows → ≤ C(50,2) pairs per bucket
+    assert(capped <= 50L * 49 / 2 * 4, s"cap did not bound candidates: $capped")
+    // non-degenerate corpora are unaffected by a generous cap
+    val spread = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 2.3 + d * 1.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val a = SimilarityOps.lshCandidates(spread, "vec_id", "embedding", planes = 8, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SimilarityOps.lshCandidates(spread, "vec_id", "embedding", planes = 8, maxBucket = 1000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("embedding near-dup via LSH buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

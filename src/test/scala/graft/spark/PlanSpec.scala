@@ -54,6 +54,20 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted.contains("codegen id"), formatted.take(3000))
   }
 
+  test("LSH signature stage is the native codegen expression, not interpreted HOFs") {
+    import org.apache.spark.sql.functions.col
+    val sig = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(graft.ops.SimilarityOps.lshSignature(col("embedding"), 8).as("bucket"))
+    sig.collect()
+    val p = sig.queryExecution.executedPlan.toString
+    assert(p.contains("vec_lsh_signature"), "native signature missing from plan:\n" + p.take(2000))
+    assert(!p.contains("aggregate(zip_with") && !p.contains("transform(sequence"),
+      "interpreted HOF signature still in plan:\n" + p.take(2000))
+    val formatted = sig.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("codegen id"), formatted.take(3000))
+  }
+
   test("expansion stage has no shuffle (partition-local by design)") {
     val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
     val docs = SyntheticDocs.generate(spark, 100, 4)
