@@ -192,13 +192,17 @@ object Bench {
     // N-then-4N pair makes the ratio a lottery (measured 0.50, 0.68 and 0.74
     // for identical code in adjacent windows). Pairing each engine leg with
     // its cluster leg keeps the spark-layer ratio drift-consistent.
+    val scalingT0 = System.nanoTime()
+    def scalingElapsed: Double = (System.nanoTime() - scalingT0) / 1e9
     var rounds = Vector((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
     if (!rounds.head._2.isNaN && !rounds.head._4.isNaN) {
       // ≥3 rounds so a median exists and one degraded-host window can be
       // rejected (round 1's best-ratio selection reported efficiency 5.3 —
-      // physically impossible — off one 46 s degraded N leg; never again)
-      rounds :+= ((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
-      rounds :+= ((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
+      // physically impossible — off one 46 s degraded N leg; never again).
+      // Budget guard: on a degraded host each round can take minutes — stop
+      // adding rounds rather than risk the driver's wall-clock cap.
+      while (rounds.size < 3 && scalingElapsed < 420.0)
+        rounds :+= ((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
     }
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val valid = rounds.filter(r => !r._2.isNaN && !r._4.isNaN)
@@ -221,9 +225,14 @@ object Bench {
     var engCeiling = Double.NaN
     if (kept.nonEmpty) {
       val byRatio = kept.sortBy(r => r._2 / r._4)
-      val (e1, t1c, e4, t4c) = byRatio(byRatio.size / 2)
+      val (_, t1c, _, t4c) = byRatio(byRatio.size / 2)
       t1x = t1c; t4x = t4c
-      engCeiling = (e1 / e4) / 4.0
+      // engine ceiling: median of per-round engine ratios rather than the
+      // chosen round's own — the engine legs drift independently, and a
+      // single round can read >1.0 (physically impossible), which would
+      // silently distort the spark-layer quotient
+      val engRatios = kept.map(r => (r._1 / r._3) / 4.0).filterNot(_.isNaN)
+      if (engRatios.nonEmpty) engCeiling = median(engRatios)
     } else {
       // fallback: thread-level proxy in fresh in-process sessions
       mode = "local-threads"
@@ -237,9 +246,10 @@ object Bench {
     }
     val efficiency = (t1x / t4x) / 4.0
     val sparkLayer = efficiency / engCeiling // NOT clamped: >1 means suspect, surface it
-    // efficiency above ~1.05 (or a spark layer reading above the engine
-    // ceiling by >5%) is physically impossible on one box — flag, don't hide
-    val suspect = efficiency > 1.05 || sparkLayer > 1.05 || kept.isEmpty
+    // efficiency above ~1.05, a spark layer reading above the engine ceiling
+    // by >5%, or an engine ceiling above 1.05 (4 JVMs can't beat 4x one JVM's
+    // throughput on one box) are physically impossible — flag, don't hide
+    val suspect = efficiency > 1.05 || sparkLayer > 1.05 || engCeiling > 1.05 || kept.isEmpty
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"

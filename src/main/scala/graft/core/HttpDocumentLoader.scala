@@ -1,0 +1,222 @@
+package graft.core
+
+import graft.json.JsonParser
+import ErrorCode._
+
+/** Driver-side HTTP document loader implementing the reference's fetch rules
+  * (/root/reference/src/remote/defaultdocumentloader.rs:19-131) on
+  * `java.net.http.HttpClient` — no extra dependencies:
+  *
+  *  - Accept header `application/ld+json[;profile="p1 p2"], application/json`
+  *    (:50-63)
+  *  - redirects are followed, EXCEPT that 300 (Multiple Choices) and 303
+  *    (See Other) freeze `documentUrl` at the URL that returned them while
+  *    the body still comes from following the chain — the reference stops
+  *    its redirect policy on those statuses and re-fetches with a
+  *    follow-everything client (:19-24, :66-84); one fetch with a frozen
+  *    documentUrl is behavior-identical
+  *  - `application/ld+json` responses are returned as-is; context Link
+  *    headers are deliberately ignored for them (:99)
+  *  - `application/json` / `*+json` responses honor a
+  *    `rel="http://www.w3.org/ns/json-ld#context"` Link header; more than
+  *    one such header is the `multiple context link headers` error (:97-109)
+  *  - any other non-HTML type follows a `rel="alternate"
+  *    type="application/ld+json"` Link recursively (:110-124); without one —
+  *    and for HTML types always — loading fails with "No JSON representation
+  *    of resource found"
+  *  - the Content-Type `profile` parameter is surfaced on the
+  *    RemoteDocument (:131)
+  *
+  * Scale note (north_rule): this loader is for DRIVER-side resolution only.
+  * Executors always read the broadcast map-backed pool
+  * ([[graft.spark.RemoteContextPool]]); no per-row HTTP happens on the
+  * cluster. In production the driver resolves the distinct context IRIs
+  * through this loader once, then broadcasts.
+  */
+final class HttpDocumentLoader(
+    requestProfile: Seq[String] = Nil,
+    maxRedirects: Int = 10,
+    maxAlternateDepth: Int = 4
+) extends DocumentLoader {
+  import HttpDocumentLoader._
+
+  // java.net.http.HttpClient is not serializable and never ships to
+  // executors (driver-side only) — recreate after deserialization
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      .build()
+
+  private val accept: String = {
+    val sb = new StringBuilder("application/ld+json")
+    if (requestProfile.nonEmpty)
+      sb.append(";profile=\"").append(requestProfile.mkString(" ")).append('"')
+    sb.append(", application/json")
+    sb.toString
+  }
+
+  def load(iri: String): RemoteDocument = loadRec(iri, 0)
+
+  private def loadRec(iri: String, depth: Int): RemoteDocument = {
+    // manual redirect loop so the 300/303 documentUrl-freeze rule is exact
+    var url = iri
+    var docUrl = iri
+    var frozen = false
+    var redirects = 0
+    var resp: java.net.http.HttpResponse[String] = null
+    while (resp == null) {
+      val r =
+        try client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .header("Accept", accept).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        catch {
+          case e: Exception =>
+            throw JsonLdError(LoadingDocumentFailed, s"$url: ${e.getMessage}")
+        }
+      val sc = r.statusCode()
+      if (sc >= 300 && sc < 400) {
+        val loc = r.headers().firstValue("Location")
+        if (redirects >= maxRedirects || loc.isEmpty)
+          throw JsonLdError(LoadingDocumentFailed, s"unresolvable redirect at $url (status $sc)")
+        if (sc == 300 || sc == 303) frozen = true
+        url = resolveAgainst(url, loc.get)
+        if (!frozen) docUrl = url
+        redirects += 1
+      } else if (sc >= 200 && sc < 300) {
+        if (!frozen) docUrl = url
+        resp = r
+      } else {
+        throw JsonLdError(LoadingDocumentFailed, s"$url returned status $sc")
+      }
+    }
+
+    val ctHeader = resp.headers().firstValue("Content-Type")
+    if (ctHeader.isEmpty)
+      throw JsonLdError(LoadingDocumentFailed, "Content-Type header is missing")
+    val (essence, params) = parseContentType(ctHeader.get)
+    val profile = params.get("profile")
+    import scala.jdk.CollectionConverters._
+    lazy val links = resp.headers().allValues("Link").asScala.toVector
+      .flatMap(v => parseLinkHeader(v, url))
+
+    essence match {
+      case "application/ld+json" =>
+        RemoteDocument(essence, None, parseBody(resp.body(), url), docUrl, profile)
+      case t if t == "application/json" || t.endsWith("+json") =>
+        val ctx = links.filter(_.relValues.contains("http://www.w3.org/ns/json-ld#context"))
+        if (ctx.size > 1)
+          throw JsonLdError(MultipleContextLinkHeaders, url)
+        RemoteDocument(essence, ctx.headOption.map(_.target), parseBody(resp.body(), url), docUrl, profile)
+      case t if t == "text/html" || t == "application/xhtml+xml" =>
+        throw JsonLdError(LoadingDocumentFailed, "No JSON representation of resource found")
+      case _ =>
+        links.find(l => l.relValues.contains("alternate") &&
+            l.attrs.get("type").contains("application/ld+json")) match {
+          case Some(alt) if depth < maxAlternateDepth => loadRec(alt.target, depth + 1)
+          case _ =>
+            throw JsonLdError(LoadingDocumentFailed, "No JSON representation of resource found")
+        }
+    }
+  }
+
+  private def parseBody(text: String, url: String): graft.json.JsonValue =
+    try JsonParser.parse(text)
+    catch { case e: Exception => throw JsonLdError(LoadingDocumentFailed, s"$url: ${e.getMessage}") }
+}
+
+object HttpDocumentLoader {
+
+  /** One parsed RFC 8288 link value. `relValues` splits the rel attribute on
+    * spaces (a rel can carry several relation types).
+    */
+  final case class Link(target: String, attrs: Map[String, String]) {
+    def relValues: Set[String] =
+      attrs.get("rel").map(_.split(" ").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+  }
+
+  private def resolveAgainst(base: String, ref: String): String =
+    Url.resolve(ref, Url.parse(base)).map(_.serialize).getOrElse(ref)
+
+  /** Content-Type header → (lowercased essence, params). Quoted parameter
+    * values are unquoted (enough for `profile="..."`).
+    */
+  def parseContentType(value: String): (String, Map[String, String]) = {
+    val parts = value.split(";")
+    val essence = parts(0).trim.toLowerCase
+    val params = parts.iterator.drop(1).flatMap { p =>
+      val eq = p.indexOf('=')
+      if (eq < 0) None
+      else {
+        val k = p.substring(0, eq).trim.toLowerCase
+        var v = p.substring(eq + 1).trim
+        if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\"")) v = v.substring(1, v.length - 1)
+        Some(k -> v)
+      }
+    }.toMap
+    (essence, params)
+  }
+
+  /** Minimal RFC 8288 Link header parser: comma-separated link-values, each
+    * `<target>; attr=value; attr="quoted value"`. Commas inside <> or quoted
+    * strings do not split. Relative targets resolve against `baseUrl`.
+    */
+  def parseLinkHeader(header: String, baseUrl: String): Vector[Link] = {
+    val out = Vector.newBuilder[Link]
+    var i = 0
+    val n = header.length
+    while (i < n) {
+      // skip whitespace / separators to the next '<'
+      while (i < n && header.charAt(i) != '<') i += 1
+      if (i < n) {
+        val close = header.indexOf('>', i)
+        if (close < 0) return out.result()
+        val target = header.substring(i + 1, close).trim
+        i = close + 1
+        val attrs = Map.newBuilder[String, String]
+        var done = false
+        while (!done && i < n) {
+          header.charAt(i) match {
+            case ',' => done = true; i += 1
+            case ';' =>
+              i += 1
+              // attr name
+              val eq = {
+                var j = i
+                while (j < n && header.charAt(j) != '=' && header.charAt(j) != ',' && header.charAt(j) != ';') j += 1
+                j
+              }
+              if (eq < n && header.charAt(eq) == '=') {
+                val name = header.substring(i, eq).trim.toLowerCase
+                i = eq + 1
+                while (i < n && header.charAt(i) == ' ') i += 1
+                val value =
+                  if (i < n && header.charAt(i) == '"') {
+                    val sb = new StringBuilder
+                    i += 1
+                    while (i < n && header.charAt(i) != '"') {
+                      if (header.charAt(i) == '\\' && i + 1 < n) { sb.append(header.charAt(i + 1)); i += 2 }
+                      else { sb.append(header.charAt(i)); i += 1 }
+                    }
+                    i += 1 // closing quote
+                    sb.toString
+                  } else {
+                    var j = i
+                    while (j < n && header.charAt(j) != ';' && header.charAt(j) != ',') j += 1
+                    val v = header.substring(i, j).trim
+                    i = j
+                    v
+                  }
+                attrs += name -> value
+              } else i = eq
+            case ' ' | '\t' => i += 1
+            case _ => i += 1
+          }
+        }
+        out += Link(resolveAgainst(baseUrl, target), attrs.result())
+      }
+    }
+    out.result()
+  }
+}
