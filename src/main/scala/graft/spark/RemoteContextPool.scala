@@ -35,15 +35,33 @@ object RemoteContextPool {
 
   val knownIris: Vector[String] = pool.keys.toVector.sorted
 
-  /** Scan the corpus for distinct referenced context IRIs (cheap distinct on
-    * a projected column), resolve on the driver from the vendored pool, and
-    * broadcast. At 10^12 docs the distinct is over K≈5 values — the scan is
-    * pruned to the spans column only.
+  /** Resolve IRIs: vendored pool first, then (if given) a driver-side
+    * fetcher such as [[graft.core.HttpDocumentLoader]]. Fetch failures are
+    * dropped — executors then raise the deterministic
+    * `loading remote context failed` for those IRIs, never a network call.
+    * The fetched document is re-serialized to its JSON text (a Link-header
+    * `contextUrl` was already applied by the loader contract before this
+    * point for full documents; bare contexts don't carry one).
     */
-  def broadcastResolved(spark: SparkSession, referenced: Dataset[String]): Broadcast[Map[String, String]] = {
+  def resolveAll(iris: Vector[String], fetcher: Option[DocumentLoader] = None): Map[String, String] =
+    iris.flatMap { iri =>
+      pool.get(iri).map(iri -> _).orElse(fetcher.flatMap { f =>
+        try Some(iri -> graft.json.JsonWriter.write(f.load(iri).document))
+        catch { case _: JsonLdError => None }
+      })
+    }.toMap
+
+  /** Scan the corpus for distinct referenced context IRIs (cheap distinct on
+    * a projected column), resolve on the driver (vendored pool, then the
+    * optional fetcher — the production path puts an [[HttpDocumentLoader]]
+    * here), and broadcast. At 10^12 docs the distinct is over K≈5 values —
+    * the scan is pruned to the spans column only, and HTTP happens at most
+    * once per distinct IRI on the driver.
+    */
+  def broadcastResolved(spark: SparkSession, referenced: Dataset[String],
+      fetcher: Option[DocumentLoader] = None): Broadcast[Map[String, String]] = {
     val iris = referenced.distinct().collect().toVector
-    val resolved = iris.flatMap(iri => pool.get(iri).map(iri -> _)).toMap
-    spark.sparkContext.broadcast(resolved)
+    spark.sparkContext.broadcast(resolveAll(iris, fetcher))
   }
 
   def loaderFor(resolved: Map[String, String]): DocumentLoader =

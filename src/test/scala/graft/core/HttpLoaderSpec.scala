@@ -138,6 +138,19 @@ class HttpLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doc.profile.contains("http://www.w3.org/ns/json-ld#expanded"))
   }
 
+  test("driver-side resolution: pool first, HTTP fetcher for unknown IRIs, failures dropped") {
+    val resolved = graft.spark.RemoteContextPool.resolveAll(
+      Vector(
+        "http://graft.example/ctx/vocab.jsonld", // vendored pool
+        s"$base/ctx.jsonld",                     // fetched over loopback HTTP
+        s"$base/missing.jsonld"),                // 404 → dropped, not fatal
+      fetcher = Some(loader))
+    assert(resolved.contains("http://graft.example/ctx/vocab.jsonld"))
+    assert(resolved.get(s"$base/ctx.jsonld").exists(_.contains("http://linked/term")))
+    assert(!resolved.contains(s"$base/missing.jsonld"))
+    assert(resolved.size == 2)
+  }
+
   test("Link parser: multiple links in one header, commas inside quotes, rel lists") {
     val links = HttpDocumentLoader.parseLinkHeader(
       """</a>; rel="alternate stylesheet"; title="x, y", <http://h/b>; rel=next; type="text/plain"""",
