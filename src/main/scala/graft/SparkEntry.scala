@@ -216,6 +216,17 @@ object SparkEntry {
       SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    "e05_ann_ivf_exact" -> ((s, d) => {
+      // nProbe == nCells probes every cell, so IVF degenerates to exact
+      // brute force — a DuckDB-oracled exactness anchor for the IVF path
+      // (e04's pruned probe stays rows-only; OpsSpec asserts the same
+      // degeneracy at unit scale)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(10)
+      SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     "e03_embedding_neardup" -> ((s, d) => {
       DedupOps.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.15, planes = 6)
         .orderBy("id_a", "id_b")
@@ -414,6 +425,17 @@ object SparkEntry {
              + (CASE WHEN mwl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
          FROM f ORDER BY doc_id""",
     "e01_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 10),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS cand_id,
+                  round(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                        / greatest(sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                                   * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 1e-12), 6) AS cosine
+           FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+         ranked AS (SELECT query_id, cand_id, cosine,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank FROM scored)
+         SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e05_ann_ivf_exact" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 10),
          scored AS (
            SELECT q.query_id, c.vec_id AS cand_id,

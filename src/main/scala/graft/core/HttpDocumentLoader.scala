@@ -36,7 +36,8 @@ import ErrorCode._
 final class HttpDocumentLoader(
     requestProfile: Seq[String] = Nil,
     maxRedirects: Int = 10,
-    maxAlternateDepth: Int = 4
+    maxAlternateDepth: Int = 4,
+    maxCacheEntries: Int = 1024
 ) extends DocumentLoader {
   import HttpDocumentLoader._
 
@@ -48,6 +49,21 @@ final class HttpDocumentLoader(
       .connectTimeout(java.time.Duration.ofSeconds(10))
       .build()
 
+  /** Per-loader LRU response cache (the reference wraps its clients in an
+    * HTTP cache middleware, defaultdocumentloader.rs:25-33; this is the
+    * in-process analog). The entry stores the raw body TEXT, not the parsed
+    * tree — JObj is mutable and callers may rewrite what load() returns, so
+    * every hit re-parses into a fresh tree. Keyed by the requested IRI.
+    */
+  private final case class CacheEntry(contentType: String, contextUrl: Option[String],
+      body: String, documentUrl: String, profile: Option[String])
+  @transient private lazy val cache: java.util.Map[String, CacheEntry] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, CacheEntry](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, CacheEntry]): Boolean =
+          size() > maxCacheEntries
+      })
+
   private val accept: String = {
     val sb = new StringBuilder("application/ld+json")
     if (requestProfile.nonEmpty)
@@ -56,9 +72,18 @@ final class HttpDocumentLoader(
     sb.toString
   }
 
-  def load(iri: String): RemoteDocument = loadRec(iri, 0)
+  def load(iri: String): RemoteDocument = {
+    var entry = cache.get(iri)
+    if (entry == null) {
+      entry = loadRec(iri, 0)
+      cache.put(iri, entry)
+    }
+    // fresh parse per hit: the tree is mutable and callers may rewrite it
+    RemoteDocument(entry.contentType, entry.contextUrl,
+      parseBody(entry.body, entry.documentUrl), entry.documentUrl, entry.profile)
+  }
 
-  private def loadRec(iri: String, depth: Int): RemoteDocument = {
+  private def loadRec(iri: String, depth: Int): CacheEntry = {
     // manual redirect loop so the 300/303 documentUrl-freeze rule is exact
     var url = iri
     var docUrl = iri
@@ -103,12 +128,14 @@ final class HttpDocumentLoader(
 
     essence match {
       case "application/ld+json" =>
-        RemoteDocument(essence, None, parseBody(resp.body(), url), docUrl, profile)
+        parseBody(resp.body(), url) // validate before caching
+        CacheEntry(essence, None, resp.body(), docUrl, profile)
       case t if t == "application/json" || t.endsWith("+json") =>
         val ctx = links.filter(_.relValues.contains("http://www.w3.org/ns/json-ld#context"))
         if (ctx.size > 1)
           throw JsonLdError(MultipleContextLinkHeaders, url)
-        RemoteDocument(essence, ctx.headOption.map(_.target), parseBody(resp.body(), url), docUrl, profile)
+        parseBody(resp.body(), url) // validate before caching
+        CacheEntry(essence, ctx.headOption.map(_.target), resp.body(), docUrl, profile)
       case t if t == "text/html" || t == "application/xhtml+xml" =>
         throw JsonLdError(LoadingDocumentFailed, "No JSON representation of resource found")
       case _ =>

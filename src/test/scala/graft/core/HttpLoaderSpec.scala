@@ -14,6 +14,7 @@ class HttpLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var server: HttpServer = _
   private var base: String = _
+  private val hitCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def respond(ex: HttpExchange, status: Int, body: String, headers: (String, String)*): Unit = {
     headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
@@ -60,6 +61,10 @@ class HttpLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
         "Content-Type" -> "text/html",
         // HTML never follows alternate links (reference skips the scan for html)
         "Link" -> s"""<$base/real.jsonld>; rel="alternate"; type="application/ld+json""""))
+    server.createContext("/counted.jsonld", (ex: HttpExchange) => {
+      hitCount.incrementAndGet()
+      respond(ex, 200, ldDoc, "Content-Type" -> "application/ld+json")
+    })
     server.createContext("/profiled.jsonld", (ex: HttpExchange) =>
       respond(ex, 200, ldDoc,
         "Content-Type" -> "application/ld+json; profile=\"http://www.w3.org/ns/json-ld#expanded\""))
@@ -136,6 +141,20 @@ class HttpLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("Content-Type profile parameter is surfaced") {
     val doc = loader.load(s"$base/profiled.jsonld")
     assert(doc.profile.contains("http://www.w3.org/ns/json-ld#expanded"))
+  }
+
+  test("response cache: repeated loads of the same IRI hit the server once, trees don't alias") {
+    val l = loader // one instance — the cache is per-loader
+    hitCount.set(0)
+    val d1 = l.load(s"$base/counted.jsonld")
+    val d2 = l.load(s"$base/counted.jsonld")
+    assert(hitCount.get() == 1, s"expected a single upstream hit, got ${hitCount.get()}")
+    assert(d1.document == d2.document)
+    // mutating one returned tree must not leak into the next load (fresh parse per hit)
+    d1.document.asObj.get.put("mutated", JStr("yes"))
+    val d3 = l.load(s"$base/counted.jsonld")
+    assert(!d3.document.asObj.get.contains("mutated"))
+    assert(hitCount.get() == 1)
   }
 
   test("driver-side resolution: pool first, HTTP fetcher for unknown IRIs, failures dropped") {

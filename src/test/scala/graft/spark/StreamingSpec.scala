@@ -31,6 +31,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from windowed predicate counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingPipeline.TimedDoc]
+    val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
+    val triples = StreamingPipeline.expandStream(input.toDS(), ctxB)
+    val rates = StreamingPipeline.predicateRates(triples, watermark = "10 seconds", window = "1 minute")
+    val q = rates.writeStream.outputMode("append").format("memory").queryName("late_rates").start()
+    try {
+      val early = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+      val late = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
+      input.addData(Seq(StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(1L), early)))
+      q.processAllAvailable()
+      // advance the watermark far past the first window...
+      input.addData(Seq(StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(2L), late)))
+      q.processAllAvailable()
+      val closed = spark.table("late_rates").collect().map(_.getAs[Long]("n")).sum
+      assert(closed > 0, "first window should have closed and emitted in append mode")
+      // ...then a doc far behind the watermark: its rows must be discarded
+      input.addData(Seq(StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(3L), early)))
+      q.processAllAvailable()
+      input.addData(Seq(StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(4L), late)))
+      q.processAllAvailable()
+      val after = spark.table("late_rates").collect()
+        .filter(_.getAs[org.apache.spark.sql.Row]("window")
+          .getAs[java.sql.Timestamp]("start").before(java.sql.Timestamp.valueOf("2026-01-01 00:05:00")))
+        .map(_.getAs[Long]("n")).sum
+      assert(after == closed, s"late rows leaked into the closed window: $closed -> $after")
+    } finally q.stop()
+  }
+
+  test("subjectFragments: custom flatMapGroupsWithState sessionization emits once per subject on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingPipeline.TimedDoc]
+    val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
+    val triples = StreamingPipeline.expandStream(input.toDS(), ctxB)
+    val frags = StreamingPipeline.subjectFragments(triples, watermark = "1 second", gapMs = 5000L)
+    val q = frags.writeStream.outputMode("append").format("memory").queryName("subj_frags").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+      val later = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
+      input.addData(Seq(
+        StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(1L), t0),
+        StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(2L), t0)))
+      q.processAllAvailable()
+      assert(spark.table("subj_frags").isEmpty, "nothing should emit before the gap passes")
+      // push the watermark far past last-seen + gap, then one more batch so
+      // the timed-out state is swept
+      input.addData(Seq(StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(3L), later)))
+      q.processAllAvailable()
+      input.addData(Seq(StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(4L), later)))
+      q.processAllAvailable()
+      val rows = spark.table("subj_frags").collect()
+      assert(rows.nonEmpty, "timed-out subjects should have emitted fragments")
+      // one fragment per subject, counts positive, pred cardinality sane
+      val bySubj = rows.groupBy(_.getAs[String]("subj"))
+      assert(bySubj.values.forall(_.length == 1), "a subject emitted more than one fragment")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_triples") > 0)
+        assert(r.getAs[Int]("n_preds") > 0)
+        assert(r.getAs[Long]("first_ms") <= r.getAs[Long]("last_ms"))
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
