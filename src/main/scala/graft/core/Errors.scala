@@ -40,6 +40,7 @@ object ErrorCode extends Enumeration {
   val InvalidReversePropertyValue = Code("invalid reverse property value")
   val InvalidReverseValue = Code("invalid @reverse value")
   val InvalidScopedContext = Code("invalid scoped context")
+  val InvalidScriptElement = Code("invalid script element")
   val InvalidSetOrListObject = Code("invalid set or list object")
   val InvalidTermDefinition = Code("invalid term definition")
   val InvalidTypedValue = Code("invalid typed value")

@@ -37,7 +37,8 @@ final class HttpDocumentLoader(
     requestProfile: Seq[String] = Nil,
     maxRedirects: Int = 10,
     maxAlternateDepth: Int = 4,
-    maxCacheEntries: Int = 1024
+    maxCacheEntries: Int = 1024,
+    htmlEnabled: Boolean = false
 ) extends DocumentLoader {
   import HttpDocumentLoader._
 
@@ -56,7 +57,7 @@ final class HttpDocumentLoader(
     * every hit re-parses into a fresh tree. Keyed by the requested IRI.
     */
   private final case class CacheEntry(contentType: String, contextUrl: Option[String],
-      body: String, documentUrl: String, profile: Option[String])
+      body: String, documentUrl: String, profile: Option[String], rawText: Boolean = false)
   @transient private lazy val cache: java.util.Map[String, CacheEntry] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, CacheEntry](16, 0.75f, true) {
@@ -78,9 +79,13 @@ final class HttpDocumentLoader(
       entry = loadRec(iri, 0)
       cache.put(iri, entry)
     }
-    // fresh parse per hit: the tree is mutable and callers may rewrite it
-    RemoteDocument(entry.contentType, entry.contextUrl,
-      parseBody(entry.body, entry.documentUrl), entry.documentUrl, entry.profile)
+    // fresh parse per hit: the tree is mutable and callers may rewrite it.
+    // HTML bodies stay raw text (JStr) — script extraction happens at the
+    // API layer (HtmlScripts), driven by options.extractAllScripts.
+    val doc: graft.json.JsonValue =
+      if (entry.rawText) graft.json.JStr(entry.body)
+      else parseBody(entry.body, entry.documentUrl)
+    RemoteDocument(entry.contentType, entry.contextUrl, doc, entry.documentUrl, entry.profile)
   }
 
   private def loadRec(iri: String, depth: Int): CacheEntry = {
@@ -137,7 +142,11 @@ final class HttpDocumentLoader(
         parseBody(resp.body(), url) // validate before caching
         CacheEntry(essence, ctx.headOption.map(_.target), resp.body(), docUrl, profile)
       case t if t == "text/html" || t == "application/xhtml+xml" =>
-        throw JsonLdError(LoadingDocumentFailed, "No JSON representation of resource found")
+        // reference parity: its loader has no HTML path and fails here
+        // (defaultdocumentloader.rs:116-126). Opt-in htmlEnabled delivers the
+        // markup as raw text for the engine's HtmlScripts extraction instead.
+        if (htmlEnabled) CacheEntry(essence, None, resp.body(), docUrl, profile, rawText = true)
+        else throw JsonLdError(LoadingDocumentFailed, "No JSON representation of resource found")
       case _ =>
         links.find(l => l.relValues.contains("alternate") &&
             l.attrs.get("type").contains("application/ld+json")) match {

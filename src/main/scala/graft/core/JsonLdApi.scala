@@ -74,7 +74,20 @@ object JsonLdApi {
             overrideProtected = false, propagate0 = true, validateScoped0 = true)
         }
         val documentUrl = parseBase(document.documentUrl)
-        Expansion.expandInternal(activeContext, None, document.document, Some(documentUrl), state, fromMap = false)
+        // HTML documents carry their markup as a raw-text JStr; the JSON-LD
+        // payload lives in <script type="application/ld+json"> elements
+        // (W3C HTML content algorithms — the reference has no HTML path)
+        val docJson =
+          if (document.contentType == "text/html" || document.contentType == "application/xhtml+xml") {
+            val htmlText = document.document.asString.getOrElse(
+              throw JsonLdError(LoadingDocumentFailed, "HTML document must be raw text"))
+            val frag = {
+              val h = document.documentUrl.indexOf('#')
+              if (h >= 0 && h + 1 < document.documentUrl.length) Some(document.documentUrl.substring(h + 1)) else None
+            }
+            HtmlScripts.extract(htmlText, frag, options.extractAllScripts)
+          } else document.document
+        Expansion.expandInternal(activeContext, None, docJson, Some(documentUrl), state, fromMap = false)
       case JsonLdInput.Doc(json) =>
         val documentUrl = options.base.map(parseBase)
         json match {

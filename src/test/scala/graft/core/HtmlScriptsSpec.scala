@@ -1,0 +1,92 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json._
+
+/** HTML script extraction (W3C JSON-LD 1.1 API HTML content algorithms) —
+  * scanner corners plus the expand-API integration for text/html documents.
+  */
+class HtmlScriptsSpec extends AnyFunSuite {
+
+  private val html =
+    """<!DOCTYPE html>
+      |<html><head>
+      |<SCRIPT TYPE="application/ld+json">
+      |{"@context": {"@vocab": "http://v/"}, "@id": "http://n/1", "name": "first"}
+      |</SCRIPT>
+      |<script type="text/javascript">var x = "<script>not me</sc" + "ript>";</script>
+      |<script id=second type='application/ld+json;charset=UTF-8'>
+      |[{"@context": {"@vocab": "http://v/"}, "@id": "http://n/2", "name": "second"},
+      | {"@context": {"@vocab": "http://v/"}, "@id": "http://n/3", "name": "third"}]
+      |</script>
+      |</head><body><p>schema.org carrier page</p></body></html>
+      |""".stripMargin
+
+  test("scanner: tags and attributes, case-insensitive, quoting variants") {
+    val all = HtmlScripts.scripts(html)
+    assert(all.size == 3)
+    assert(all(0).attrs("type") == "application/ld+json")
+    assert(all(1).attrs("type") == "text/javascript")
+    assert(all(2).attrs("id") == "second")
+    assert(all(2).attrs("type").startsWith("application/ld+json;"))
+  }
+
+  test("default extraction takes the FIRST application/ld+json script only") {
+    val v = HtmlScripts.extract(html, None, extractAllScripts = false)
+    assert(v.asObj.exists(_.get("@id").contains(JStr("http://n/1"))))
+  }
+
+  test("extractAllScripts concatenates, splicing array-valued scripts") {
+    val v = HtmlScripts.extract(html, None, extractAllScripts = true)
+    val ids = v.asArr.get.iterator.flatMap(_.asObj).flatMap(_.get("@id")).toVector
+    assert(ids == Vector(JStr("http://n/1"), JStr("http://n/2"), JStr("http://n/3")))
+  }
+
+  test("fragment identifier selects the script by id; missing id fails to load") {
+    val v = HtmlScripts.extract(html, Some("second"), extractAllScripts = false)
+    assert(v.asArr.exists(_.size == 2))
+    val err = intercept[JsonLdError] {
+      HtmlScripts.extract(html, Some("nope"), extractAllScripts = false)
+    }
+    assert(err.code == ErrorCode.LoadingDocumentFailed)
+  }
+
+  test("unparseable script content is the invalid-script-element error") {
+    val bad = """<script type="application/ld+json">{not json</script>"""
+    val err = intercept[JsonLdError] {
+      HtmlScripts.extract(bad, None, extractAllScripts = false)
+    }
+    assert(err.code == ErrorCode.InvalidScriptElement)
+  }
+
+  test("no candidate scripts at all fails to load") {
+    val err = intercept[JsonLdError] {
+      HtmlScripts.extract("<html><body>plain</body></html>", None, extractAllScripts = false)
+    }
+    assert(err.code == ErrorCode.LoadingDocumentFailed)
+  }
+
+  private def remoteHtml(url: String) = JsonLdInput.Remote(RemoteDocument(
+    contentType = "text/html", contextUrl = None,
+    document = JStr(html), documentUrl = url))
+
+  test("expand API on a text/html RemoteDocument: first script by default") {
+    val out = JsonLdApi.expand(remoteHtml("http://example.org/page.html"), JsonLdOptions())
+    assert(out.size == 1)
+    assert(out(0).asObj.get.get("@id").contains(JStr("http://n/1")))
+    assert(out(0).asObj.get.contains("http://v/name"))
+  }
+
+  test("expand API with extractAllScripts: all nodes from all scripts") {
+    val out = JsonLdApi.expand(remoteHtml("http://example.org/page.html"),
+      JsonLdOptions(extractAllScripts = true))
+    val ids = out.iterator.flatMap(_.asObj).flatMap(_.get("@id")).toSet
+    assert(ids == Set[JsonValue](JStr("http://n/1"), JStr("http://n/2"), JStr("http://n/3")))
+  }
+
+  test("expand API with a fragment documentUrl targets that script") {
+    val out = JsonLdApi.expand(remoteHtml("http://example.org/page.html#second"), JsonLdOptions())
+    val ids = out.iterator.flatMap(_.asObj).flatMap(_.get("@id")).toSet
+    assert(ids == Set[JsonValue](JStr("http://n/2"), JStr("http://n/3")))
+  }
+}

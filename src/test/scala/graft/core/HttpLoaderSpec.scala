@@ -61,6 +61,12 @@ class HttpLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
         "Content-Type" -> "text/html",
         // HTML never follows alternate links (reference skips the scan for html)
         "Link" -> s"""<$base/real.jsonld>; rel="alternate"; type="application/ld+json""""))
+    server.createContext("/embedded.html", (ex: HttpExchange) =>
+      respond(ex, 200,
+        """<html><head><script type="application/ld+json">
+          |{"@context": {"@vocab": "http://v/"}, "@id": "http://n/embedded", "name": "page"}
+          |</script></head><body>x</body></html>""".stripMargin,
+        "Content-Type" -> "text/html"))
     server.createContext("/counted.jsonld", (ex: HttpExchange) => {
       hitCount.incrementAndGet()
       respond(ex, 200, ldDoc, "Content-Type" -> "application/ld+json")
@@ -136,6 +142,16 @@ class HttpLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("HTML never follows alternate links (parity with the reference's skip)") {
     val err = intercept[JsonLdError] { loader.load(s"$base/page.html") }
     assert(err.code == ErrorCode.LoadingDocumentFailed)
+  }
+
+  test("htmlEnabled loader delivers markup as raw text; expand extracts the embedded script") {
+    val l = new HttpDocumentLoader(htmlEnabled = true)
+    val doc = l.load(s"$base/embedded.html")
+    assert(doc.contentType == "text/html")
+    assert(doc.document.isInstanceOf[JStr])
+    val out = JsonLdApi.expand(JsonLdInput.Remote(doc), JsonLdOptions(), l)
+    assert(out.size == 1)
+    assert(out(0).asObj.get.get("@id").contains(JStr("http://n/embedded")))
   }
 
   test("Content-Type profile parameter is surfaced") {
