@@ -105,6 +105,8 @@ object HtmlScripts {
           throw JsonLdError(LoadingDocumentFailed, s"no application/ld+json script with id=$id"))
         parseScript(hit)
       case None if extractAllScripts =>
+        if (candidates.isEmpty)
+          throw JsonLdError(LoadingDocumentFailed, "no application/ld+json script element found")
         val arr = new JArr()
         candidates.foreach { s =>
           parseScript(s) match {

@@ -124,9 +124,14 @@ object ExpandStage {
 
     val docTriples = Vector.newBuilder[Triple]
     for (span <- sorted) span.kind match {
-      case "jsonld" =>
+      case kind @ ("jsonld" | "html") =>
         try {
-          val json = JsonParser.parse(span.text)
+          // html spans carry a web page; its JSON-LD payload lives in
+          // <script type="application/ld+json"> elements — corpus ingestion
+          // takes ALL scripts (HtmlScripts, W3C HTML content algorithms)
+          val json =
+            if (kind == "html") HtmlScripts.extract(span.text, None, extractAllScripts = true)
+            else JsonParser.parse(span.text)
           val opts = options.copy(base = Some(s"$DocNs${doc.doc_id}/span/${span.offset}"))
           // withOptions shares the partition-long loaded/processed context caches
           val expanded = JsonLdApi.expand(JsonLdInput.Doc(json), partitionState.withOptions(opts))

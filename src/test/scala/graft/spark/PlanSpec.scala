@@ -87,6 +87,24 @@ class PlanSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("html spans: embedded application/ld+json scripts are extracted and expanded") {
+    val page =
+      """<html><head>
+        |<script type="application/ld+json">{"@context":{"@vocab":"http://v/"},"@id":"http://s/h1","p":"q"}</script>
+        |<script type="text/javascript">ignore();</script>
+        |<script type="application/ld+json">{"@context":{"@vocab":"http://v/"},"@id":"http://s/h2","r":"s"}</script>
+        |</head><body>page</body></html>""".stripMargin
+    val doc = Doc("doc-html", Seq(
+      Span("html", page, null, 1),
+      Span("html", "<html><body>no scripts here</body></html>", null, 2)))
+    val (triples, errors) = ExpandStage.expandDoc(doc, RemoteContextPool.fullLoader, JsonLdOptions(), Map.empty)
+    // extractAllScripts: both ld+json scripts of span 1 contribute triples
+    assert(triples.exists(t => t.subj == "http://s/h1" && t.pred == "http://v/p"))
+    assert(triples.exists(t => t.subj == "http://s/h2" && t.pred == "http://v/r"))
+    // a page with no candidate scripts lands in the error channel, job survives
+    assert(errors.exists(e => e.span_offset == 2 && e.code == "loading document failed"))
+  }
+
   test("expansion error channel captures malformed spans without failing the job") {
     import spark.implicits._
     val bad = Doc("doc-bad", Seq(
