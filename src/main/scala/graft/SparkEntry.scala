@@ -329,6 +329,30 @@ object SparkEntry {
       }.toDF("doc_id", "n_articles")
         .filter(col("n_articles") > 0).orderBy("doc_id")
     }),
+    "j08_html_pages" -> ((s, d) => {
+      // corpus-scale HTML ingestion: wrap every jsonld span into a web page
+      // and run it through the html span path; a doc survives only when the
+      // html path reproduces the direct jsonld path's triple count exactly
+      // (self-checking rows-only query — equality is the assertion)
+      import s.implicits._
+      val docs = pipelineDocs(s, d)
+      val wrapped = docs.map { doc =>
+        doc.copy(spans = doc.spans.map(sp =>
+          if (sp.kind == "jsonld")
+            sp.copy(kind = "html",
+              text = s"""<html><head><script type="application/ld+json">${sp.text}</script></head><body>p</body></html>""")
+          else sp))
+      }
+      val ctxB = s.sparkContext.broadcast(RemoteContextPool.pool)
+      val viaHtml = ExpandStage.triples(ExpandStage.run(wrapped, ctxB))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_html"))
+      val viaJsonld = ExpandStage.triples(ExpandStage.run(docs, ctxB))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_jsonld"))
+      viaHtml.join(viaJsonld, "doc_id")
+        .filter(col("n_html") === col("n_jsonld"))
+        .select(col("doc_id"), col("n_html").as("n_triples"))
+        .orderBy("doc_id")
+    }),
     "m01_media_features" -> ((s, d) => {
       import s.implicits._
       val refs = pipelineDocs(s, d).select(explode(col("spans")).as("s"))
