@@ -191,6 +191,18 @@ object SparkEntry {
         .select("doc_id", "tokens_bpe", "lang_id", "fingerprint")
         .orderBy("doc_id")
     }),
+    "d08_ngram_jaccard" -> ((s, d) => {
+      // the exact n-gram Jaccard operator in isolation (it otherwise only
+      // runs as d04's verification stage) — small deterministic pair set so
+      // the O(n²) stays a verification-scale tool, DuckDB-oracled
+      val docs = t(s, d, "documents").orderBy("doc_id").limit(30)
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(DedupOps.jaccard(col("ta"), col("tb"), 5), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "d04_minhash_lsh" -> ((s, d) => {
       DedupOps.minhashLsh(t(s, d, "documents"), threshold = 0.3).orderBy("id_a", "id_b")
     }),
@@ -448,6 +460,12 @@ object SparkEntry {
              + (CASE WHEN sraw BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
              + (CASE WHEN mwl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
          FROM f ORDER BY doc_id""",
+    "d08_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents ORDER BY doc_id LIMIT 30),
+         sh AS (SELECT doc_id, list_distinct(list_filter(list_transform(range(0, greatest(length(t) - 5, 0) + 1), i -> substr(t, CAST(i + 1 AS INT), 5)), s -> length(s) = 5)) AS sg FROM d)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sg, b.sg))::DOUBLE / greatest(len(list_distinct(a.sg || b.sg))::DOUBLE, 1.0), 6) AS jaccard
+         FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY 1, 2""",
     "e01_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 10),
          scored AS (

@@ -66,6 +66,28 @@ class HtmlScriptsSpec extends AnyFunSuite {
     assert(err.code == ErrorCode.LoadingDocumentFailed)
   }
 
+  test("fuzz: the scanner never throws anything but JsonLdError on hostile markup") {
+    // corpus operators must degrade to error-channel rows, never kill a task
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet = "<script type=\"application/ld+json\">{}[]'= /abc\t\n"
+    var i = 0
+    while (i < 3000) {
+      val s = Array.fill(rnd.nextInt(80))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      try {
+        HtmlScripts.scripts(s)
+        HtmlScripts.extract(s, if (rnd.nextBoolean()) Some("x") else None, rnd.nextBoolean())
+      } catch { case _: JsonLdError => /* the only acceptable failure */ }
+      i += 1
+    }
+    // targeted hostiles: unterminated constructs at every truncation point
+    val page = """<script type="application/ld+json" id='a'>{"x":1}</script>"""
+    (0 until page.length).foreach { cut =>
+      val s = page.substring(0, cut)
+      try { HtmlScripts.extract(s, None, extractAllScripts = true) }
+      catch { case _: JsonLdError => }
+    }
+  }
+
   private def remoteHtml(url: String) = JsonLdInput.Remote(RemoteDocument(
     contentType = "text/html", contextUrl = None,
     document = JStr(html), documentUrl = url))
