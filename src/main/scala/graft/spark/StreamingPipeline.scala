@@ -90,6 +90,50 @@ object StreamingPipeline {
         })
   }
 
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Append one micro-batch of triples durably: data first, then the lineage
+    * row — and skip batch ids that already have a lineage row. foreachBatch
+    * is at-least-once on failure/restart; the lineage gate layers idempotence
+    * on top (same pattern as Materialize's bucket lineage). Returns false
+    * when the batch was skipped as already committed.
+    */
+  def appendTriplesBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long, outDir: String): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val lineagePath = s"$outDir/stream_lineage"
+    val committed = pathExists(spark, lineagePath) &&
+      !spark.read.parquet(lineagePath).filter(col("batch_id") === batchId).isEmpty
+    if (committed) return false
+    val rows = batch.drop("ingest_ts")
+    rows.write.mode("append").parquet(s"$outDir/triples/batch=$batchId")
+    val n = spark.read.parquet(s"$outDir/triples/batch=$batchId").count()
+    Seq((batchId, n)).toDF("batch_id", "n_triples")
+      .write.mode("append").parquet(lineagePath)
+    true
+  }
+
+  /** readStream → expand → durable writeStream: the streaming lift of
+    * [[Materialize]]. Each micro-batch lands under `outDir/triples/batch=N`
+    * with a per-batch lineage row; the engine's streaming checkpoint plus
+    * the lineage gate make restarts resume without duplicating batches.
+    */
+  def materializeStream(
+      docs: Dataset[TimedDoc],
+      resolvedContexts: Broadcast[Map[String, String]],
+      outDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    expandStream(docs, resolvedContexts).writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoints")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        appendTriplesBatch(batch, batchId, outDir); ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming exact dedup with BOUNDED state: duplicates are dropped within
     * the watermark horizon via dropDuplicatesWithinWatermark — the only safe
     * formulation on unbounded input (plain dropDuplicates would grow state

@@ -97,6 +97,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("materializeStream: durable per-batch triple sink with idempotent lineage gating") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-mat").toString
+    val input = MemoryStream[StreamingPipeline.TimedDoc]
+    val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
+    val q = StreamingPipeline.materializeStream(input.toDS(), ctxB, outDir)
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+      input.addData((0L until 20L).map(i => StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(i), t0)))
+      q.processAllAvailable()
+      input.addData(Seq(StreamingPipeline.TimedDoc(SyntheticDocs.generateDoc(99L), t0)))
+      q.processAllAvailable()
+      val triples = spark.read.parquet(s"$outDir/triples")
+      assert(triples.count() > 0)
+      val lineage = spark.read.parquet(s"$outDir/stream_lineage").collect()
+      assert(lineage.length >= 1)
+      assert(lineage.map(_.getAs[Long]("n_triples")).sum == triples.count())
+      // replaying an already-committed batch id must be a no-op (the
+      // at-least-once foreachBatch contract under restart)
+      val before = triples.count()
+      val someBatch = lineage.head.getAs[Long]("batch_id")
+      val replay = StreamingPipeline.appendTriplesBatch(
+        spark.read.parquet(s"$outDir/triples/batch=$someBatch"), someBatch, outDir)
+      assert(!replay)
+      assert(spark.read.parquet(s"$outDir/triples").count() == before)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
