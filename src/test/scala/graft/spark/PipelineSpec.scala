@@ -149,4 +149,40 @@ class PipelineSpec extends AnyFunSuite {
     val rt = back.collect().map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset))).toMap
     assert(orig == rt)
   }
+
+  test("distributed canonicalization is a valid bijective relabeling on every toRdf fixture") {
+    // canonical N-Quads are invariant under any BIJECTIVE bnode relabeling —
+    // so Canonicalize.global (doc-scoped iterative joins) must leave
+    // BnodeCanon.toCanonicalNQuads unchanged per fixture. A label collision
+    // (merging distinct bnodes) or a scope mix-up breaks the equality.
+    import spark.implicits._
+    import graft.core.{BnodeCanon, Triple}
+    val dir = java.nio.file.Paths.get("src/test/resources/w3c/toRdf")
+    import scala.jdk.CollectionConverters._
+    val fixtures = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith("-out.nq")).toVector.sorted
+      .map { f =>
+        val id = f.stripSuffix("-out.nq")
+        id -> BnodeCanon.parseNQuads(new String(
+          java.nio.file.Files.readAllBytes(dir.resolve(f)), "UTF-8"))
+      }
+      .filter(_._2.exists(t => t.subj.startsWith("_:") || t.objKind == "bnode" || t.graph.startsWith("_:")))
+    assert(fixtures.nonEmpty, "expected bnode-bearing toRdf fixtures")
+    val rows = fixtures.flatMap { case (id, ts) =>
+      ts.map(t => TripleRow(t.subj, t.pred, t.objKind, t.objValue, t.objDatatype, t.objLang, t.graph, id))
+    }
+    val relabeled = Canonicalize.global(rows.toDS(), rounds = 3, scoped = true)
+      .select("doc_id", "subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang", "graph")
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.toVector.map(r =>
+        Triple(r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+          r.getString(5), r.getString(6), r.getString(7)))).toMap
+    fixtures.foreach { case (id, original) =>
+      val canonOrig = BnodeCanon.toCanonicalNQuads(original)
+      val canonRelabeled = BnodeCanon.toCanonicalNQuads(relabeled(id))
+      assert(canonOrig == canonRelabeled,
+        s"fixture $id: distributed relabeling changed the canonical graph\norig:\n$canonOrig\nrelabeled:\n$canonRelabeled")
+    }
+  }
 }
