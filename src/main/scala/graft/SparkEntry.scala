@@ -398,6 +398,21 @@ object SparkEntry {
           col("out_width").cast("long").as("out_width"),
           col("out_height").cast("long").as("out_height"))
         .orderBy("p_partkey")
+    }),
+    "m04_frame_math" -> ((s, d) => {
+      // the ANSI-expressible half of frame sampling (same split as m03): the
+      // SAME sampleFrames operator over durations derived from a parquet
+      // table with plain arithmetic, so DuckDB can oracle the sequence math
+      val media = t(s, d, "part").filter(col("p_partkey") <= 500).select(
+        concat(lit("m"), col("p_partkey").cast("string")).as("media_ref"),
+        lit("video").as("modality"),
+        (lit(1000) + pmod(col("p_partkey") * 37, lit(59001))).cast("int").as("duration_ms"),
+        lit(320).cast("int").as("width"), lit(240).cast("int").as("height"))
+      MultimodalOps.sampleFrames(media)
+        .select(col("media_ref"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_ts_ms").cast("long").as("frame_ts_ms"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+        .orderBy("media_ref", "frame_idx")
     })
   )
 
@@ -488,6 +503,14 @@ object SparkEntry {
          ranked AS (SELECT query_id, cand_id, cosine,
                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank FROM scored)
          SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m04_frame_math" ->
+      """WITH m AS (SELECT 'm' || CAST(p_partkey AS VARCHAR) AS media_ref,
+                    1000 + (p_partkey * 37) % 59001 AS duration_ms
+             FROM part WHERE p_partkey <= 500)
+         SELECT media_ref, CAST(ts / 5000 AS BIGINT) AS frame_idx, CAST(ts AS BIGINT) AS frame_ts_ms,
+                CAST(320 AS BIGINT) AS width, CAST(240 AS BIGINT) AS height
+         FROM m, unnest(generate_series(0, CAST(duration_ms AS BIGINT), 5000)) AS t(ts)
+         ORDER BY media_ref, frame_idx""",
     "m03_resize_math" ->
       """WITH m AS (SELECT p_partkey, 64 + (p_partkey * 7) % 1024 AS width, 64 + (p_partkey * 13) % 1024 AS height FROM part),
          r AS (SELECT p_partkey, width, height, round(least(1.0, 256.0 / greatest(width, height)), 6) AS scale FROM m)
