@@ -122,18 +122,49 @@ object DedupOps {
     // verification joins texts back by id — candidate texts only, never the
     // full corpus through the band shuffle
     val txt = sig.select(col("id"), col("txt"))
+    val jaccJvm = udf((a: String, b: String) => jaccardJvm(a, b, k))
     est.join(txt.withColumnRenamed("id", "id_a").withColumnRenamed("txt", "txt_a"), Seq("id_a"))
       .join(txt.withColumnRenamed("id", "id_b").withColumnRenamed("txt", "txt_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
-        round(jaccard(col("txt_a"), col("txt_b"), k), 6).as("jaccard"))
+        round(jaccJvm(col("txt_a"), col("txt_b")), 6).as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard between two text columns (verification stage). */
+  /** Exact n-gram Jaccard between two text columns, as a Catalyst Column
+    * program (HOF shingles). Kept as the ANSI-mirrorable formulation — the
+    * d08 oracle replays it in DuckDB SQL; the hot verification path inside
+    * [[minhashLsh]] uses [[jaccardJvm]] instead (interpreted-HOF tax).
+    */
   def jaccard(a: Column, b: Column, k: Int = 5): Column = {
     val sa = shingles(a, k)
     val sb = shingles(b, k)
     val inter = size(array_intersect(sa, sb)).cast("double")
     inter / greatest(size(array_union(sa, sb)).cast("double"), lit(1.0))
+  }
+
+  /** One-pass JVM n-gram Jaccard — same normalization and shingle semantics
+    * as [[jaccard]] (lowercase, whitespace collapsed to single spaces,
+    * length-k character shingles, set semantics), but two hash sets instead
+    * of four interpreted higher-order functions per pair. The verification
+    * stage runs this over every candidate pair (tens of thousands at sf0.1,
+    * unbounded at corpus scale), which made it the interpreted-HOF hot spot
+    * after the signature stage moved to codegen.
+    */
+  def jaccardJvm(a: String, b: String, k: Int): Double = {
+    def shingleSet(text: String): java.util.HashSet[String] = {
+      val t = text.toLowerCase.replaceAll("\\s+", " ")
+      val s = new java.util.HashSet[String]()
+      var i = 0
+      while (i + k <= t.length) { s.add(t.substring(i, i + k)); i += 1 }
+      s
+    }
+    if (a == null || b == null) return 0.0
+    val sa = shingleSet(a)
+    val sb = shingleSet(b)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    inter.toDouble / math.max(union.toDouble, 1.0)
   }
 
   /** One-pass JVM SimHash: per-bit majority vote over token hashes (same

@@ -43,6 +43,22 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(exact.getAs[Double]("jaccard") - 1.0) < 1e-9)
   }
 
+  test("jaccardJvm matches the Column HOF formulation on real document pairs") {
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy("doc_id").limit(20).collect().map(_.getAs[String]("text"))
+    val pairs = (for (i <- texts.indices; j <- texts.indices if i < j) yield (texts(i), texts(j))).toSeq
+    val viaColumn = pairs.toDF("a", "b")
+      .select(DedupOps.jaccard(col("a"), col("b"), 5).as("j")).collect().map(_.getDouble(0))
+    pairs.zip(viaColumn).foreach { case ((a, b), expected) =>
+      val got = DedupOps.jaccardJvm(a, b, 5)
+      assert(got == expected, s"jvm=$got hof=$expected for pair (${a.take(20)}.., ${b.take(20)}..)")
+    }
+    // edge shapes: short texts, identical, empty-ish
+    assert(DedupOps.jaccardJvm("abc", "abc", 5) == 0.0) // shorter than k → no shingles
+    assert(DedupOps.jaccardJvm("hello world", "hello world", 5) == 1.0)
+    assert(DedupOps.jaccardJvm("hello  world", "hello world", 5) == 1.0) // ws collapse
+  }
+
   test("simhash near-dup pairs") {
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 6).collect()
     val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
