@@ -77,6 +77,9 @@ object Bench {
     // 4×8-core executors on the same input. Falls back to NaN if spark-submit
     // is unavailable.
     def clusterRun(executors: Int): Double = {
+      // asymmetric reps: the single-JVM N leg is drift-insensitive (2 reps
+      // suffice); the 4-JVM leg carries the GC-desync variance (3 reps)
+      val reps = if (executors == 1) "2" else "3"
       val jar = new java.io.File("target/scala-2.13/jsonldrsspark_2.13-0.1.0.jar")
       if (!jar.exists()) return Double.NaN
       val cmd = Seq("/opt/spark/bin/spark-submit",
@@ -91,16 +94,16 @@ object Bench {
         // tasks are location-agnostic (generated input): never hold a core
         // waiting for locality
         "--conf", "spark.locality.wait=0",
-        // 1.2M docs × 2 reps, best-of: measured head-to-head against one
-        // 2.4M-doc rep (same wall budget), the long single window reads the
-        // 4N leg 30-45% slower — four free-running executor JVMs desync
-        // their GC pauses and one long window integrates all of that noise,
-        // while best-of-two shorter reps filters it; the N=1 leg is
-        // insensitive either way (single JVM, ~linear in docs). 2.6 s per
-        // 4N rep is still compute-bound (fixed per-stage overhead ~0.5 s).
+        // 1.2M docs × best-of-reps: best-of-short-reps measured better
+        // than one long window (four free-running executor JVMs desync
+        // their GC pauses; a long window integrates all of that noise,
+        // short reps filter it). Round-2 evidence: with 2 reps everywhere,
+        // per-round efficiency still spread 0.27-0.69 inside ONE drift
+        // window — the extra rep goes to the noisy 4N leg only (see `reps`
+        // above) so 3 rounds still fit the 420 s budget guard.
         // 192 partitions = 6 exact waves on 32 cores (finer granularity
         // smooths per-partition variance into a shorter straggler tail).
-        "--class", "graft.ClusterProbe", jar.getPath, clusterProbeDocs.toString, "192", "2")
+        "--class", "graft.ClusterProbe", jar.getPath, clusterProbeDocs.toString, "192", reps)
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_HOME", "/opt/spark")
       pb.redirectErrorStream(true)
@@ -204,7 +207,13 @@ object Bench {
       while (rounds.size < 3 && scalingElapsed < 420.0)
         rounds :+= ((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
     }
-    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    // lower-middle for even counts: with 2 surviving rounds the ratio
+    // "median" must not silently become the max. For the per-LEG medians the
+    // lower-middle is also the principled reference point on a shared box:
+    // contention noise is one-sided (it only ever makes a leg slower), so
+    // the faster reading is the less contaminated estimate of the host's
+    // true capability and a leg far above it marks a degraded-window round.
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s((s.size - 1) / 2) }
     val valid = rounds.filter(r => !r._2.isNaN && !r._4.isNaN)
     // leg-level plausibility filter: a round whose N or 4N cluster leg
     // deviates >2× from the median of that leg across rounds sampled a
@@ -225,7 +234,7 @@ object Bench {
     var engCeiling = Double.NaN
     if (kept.nonEmpty) {
       val byRatio = kept.sortBy(r => r._2 / r._4)
-      val (_, t1c, _, t4c) = byRatio(byRatio.size / 2)
+      val (_, t1c, _, t4c) = byRatio((byRatio.size - 1) / 2)
       t1x = t1c; t4x = t4c
       // engine ceiling: median of per-round engine ratios rather than the
       // chosen round's own — the engine legs drift independently, and a
