@@ -33,6 +33,25 @@ object Materialize {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Session-stable fingerprint of the input's ANALYZED plan: the plan
+    * string with per-session artifacts stripped (expression ids `#123`,
+    * lambda class ids, object identity hashes), hashed. The plan's
+    * semanticHash is NOT usable here — it differs across spark-submit
+    * sessions for the identical logical input (measured: two submits of the
+    * same 1M-doc job produced two staging dirs), which silently defeats
+    * cross-run staging reuse. Covers source paths/shape without scanning
+    * data; an in-place rewrite of the same source path still escapes it —
+    * use a fresh outDir (run id) for that case.
+    */
+  private[spark] def inputFingerprint(docs: Dataset[Doc]): String = {
+    val normalized = docs.queryExecution.analyzed.toString
+      .replaceAll("#\\d+", "")
+      .replaceAll("\\$\\$Lambda\\$\\d+(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-fA-F]+", "")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(normalized.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+  }
+
   private def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
     if (!pathExists(spark, s"$outDir/lineage")) Set.empty
     else {
@@ -79,12 +98,9 @@ object Materialize {
     // (An earlier formulation used .cache() — at 10^12 docs that pins the
     // whole corpus in executor memory/disk and dies with any executor; a
     // staged table is the durable equivalent. Bucket count AND an input
-    // fingerprint — the analyzed plan's semantic hash, which covers source
-    // paths/shape without scanning data — are part of the path, so a re-run
-    // with a different bucket count or a different input never silently
-    // resolves to stale staging.)
-    val inputTag = Integer.toHexString(docs.queryExecution.analyzed.semanticHash())
-    val stagingDir = s"$outDir/staging_b${buckets}_$inputTag"
+    // fingerprint are part of the path, so a re-run with a different bucket
+    // count or a different input never silently resolves to stale staging.)
+    val stagingDir = s"$outDir/staging_b${buckets}_${inputFingerprint(docs)}"
     if (!pathExists(spark, s"$stagingDir/_SUCCESS")) {
       docs.withColumn("bucket", bucketOf(buckets))
         .repartition(col("bucket"))
