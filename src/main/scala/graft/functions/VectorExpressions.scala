@@ -83,9 +83,10 @@ object VecCosine {
   * `aggregate`) that dominated the e02/e03 signature stage — higher-order
   * functions are interpreted per row AND inlined per use (BENCH.md), while
   * this expression is one fused Java loop inside whole-stage codegen.
-  * `planes` must be ≤ 63 (bit-packed into one long).
+  * `planes` must be ≤ 63 (bit-packed into one long); `seed` selects an
+  * independent plane family (multi-table LSH uses one family per table).
   */
-case class VecLshSignature(child: Expression, planes: Int)
+case class VecLshSignature(child: Expression, planes: Int, seed: Int = 0)
     extends UnaryExpression {
 
   require(planes > 0 && planes <= 63, s"planes must be in [1, 63], got $planes")
@@ -94,7 +95,7 @@ case class VecLshSignature(child: Expression, planes: Int)
   override def prettyName: String = "vec_lsh_signature"
 
   override def nullSafeEval(input: Any): Any =
-    VecLshSignature.compute(input.asInstanceOf[ArrayData], planes)
+    VecLshSignature.compute(input.asInstanceOf[ArrayData], planes, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
@@ -110,7 +111,7 @@ case class VecLshSignature(child: Expression, planes: Int)
          |for (int $p = 0; $p < $planes; $p++) {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $nd; $i++) {
-         |    long $z = ((long) $p * 0x2545F4914F6CDD1DL + (long) $i) + 0x9E3779B97F4A7C15L;
+         |    long $z = ((long) ($seed + $p) * 0x2545F4914F6CDD1DL + (long) $i) + 0x9E3779B97F4A7C15L;
          |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
          |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
          |    $z = $z ^ ($z >>> 31);
@@ -134,7 +135,7 @@ object VecLshSignature {
   /** Interpreted twin of the generated code — loop order and FP accumulation
     * order are identical, so eval and codegen agree bit-for-bit.
     */
-  def compute(v: ArrayData, planes: Int): Long = {
+  def compute(v: ArrayData, planes: Int, seed: Int = 0): Long = {
     var sig = 0L
     val nd = v.numElements()
     var p = 0
@@ -142,7 +143,7 @@ object VecLshSignature {
       var acc = 0.0
       var i = 0
       while (i < nd) {
-        var z = (p.toLong * 0x2545F4914F6CDD1DL + i.toLong) + 0x9E3779B97F4A7C15L
+        var z = ((seed + p).toLong * 0x2545F4914F6CDD1DL + i.toLong) + 0x9E3779B97F4A7C15L
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
         z = z ^ (z >>> 31)

@@ -45,10 +45,10 @@ object SimilarityOps {
     * × per row (the interpreted-HOF tax measured at 30× on the minhash
     * kernels, BENCH.md). No driver-side matrix needed — works at any dim.
     */
-  def lshSignature(vec: Column, planes: Int): Column =
+  def lshSignature(vec: Column, planes: Int, seed: Int = 0): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.functions.VecLshSignature(
-        org.apache.spark.sql.GraftBridge.expression(vec), planes))
+        org.apache.spark.sql.GraftBridge.expression(vec), planes, seed))
 
   /** Self-join candidates within identical LSH buckets.
     *
@@ -180,15 +180,28 @@ object SimilarityOps {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
-  /** ANN top-k via LSH buckets (approximate; same output shape as brute force). */
+  /** ANN top-k via multi-table LSH: `tables` independent hyperplane families
+    * (one seed per table); a candidate meets a query when they share the
+    * bucket in ANY table — the standard recall fix for single-table LSH
+    * (measured recall@5 on the synthetic embeddings: 0.09 with one 6-plane
+    * table vs ~4-5× that with 4 tables; each table is an equi-keyed join, so
+    * the plan stays broadcast + bucket-pruned, never all-pairs). Candidate
+    * pairs found by several tables are deduplicated before scoring so the
+    * cosine kernel runs once per distinct pair.
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, planes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
-      lshSignature(col(vecCol), planes).as("bucket"))
-      .localCheckpoint(false)
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      lshSignature(col(vecCol), planes).as("bucket")))
-    val scored = c.join(q, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      k: Int = 10, planes: Int = 8, tables: Int = 4): DataFrame = {
+    def sigs(df: DataFrame, id: String, vec: String) = df.select(
+      col(idCol).as(id), col(vecCol).as(vec),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col(vecCol), planes, seed = t * 64)): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val c = sigs(corpus, "cand_id", "cand_vec").localCheckpoint(false)
+    val q = broadcast(sigs(queries, "query_id", "query_vec"))
+    val cand = c.join(q, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+    val scored = cand
       .withColumn("cosine", round(cosine(col("query_vec"), col("cand_vec")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

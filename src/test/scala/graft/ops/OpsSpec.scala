@@ -192,6 +192,32 @@ class OpsSpec extends AnyFunSuite {
     assert(nd.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("ANN quality: LSH and IVF recall vs brute-force ground truth on real embeddings") {
+    // the approximate paths must not just run — they must FIND things.
+    // Recall@5 against e01-style exact top-k on the sf0.001 embeddings
+    // (deterministic: fixed planes/seeded quantizer), floors set ~10 points
+    // under measured values so genuine regressions trip without flaking.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.orderBy("vec_id").limit(20)
+    def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topkSet(SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) => (approx.getOrElse(q, Set.empty) & t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    // near-uniform synthetic embeddings are LSH's hard case (neighbors are
+    // barely more aligned than random): 4 planes × 8 tables trades bucket
+    // selectivity for recall — the knob a real corpus tunes per distribution
+    val lsh = recall(topkSet(SimilarityOps.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, planes = 4, tables = 8)))
+    val ivf = recall(topkSet(SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)))
+    info(f"recall@5: lsh(4 planes x 8 tables)=$lsh%.3f ivf(4/16)=$ivf%.3f")
+    assert(lsh >= 0.30, f"LSH recall collapsed: $lsh%.3f")
+    assert(ivf >= 0.45, f"IVF recall collapsed: $ivf%.3f")
+  }
+
   test("multimodal resize preserves aspect ratio, caps the long edge, never upscales") {
     val refs = spark.createDataset(Seq("media://b/1", "media://b/2", "media://b/3", "media://b/4"))(
       org.apache.spark.sql.Encoders.STRING)
