@@ -231,8 +231,8 @@ object DedupOps {
     * LSH-bucketed candidates (random-hyperplane signs; see SimilarityOps).
     */
   def embeddingNearDup(embeddings: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.95, planes: Int = 12, maxBucket: Int = 1000): DataFrame = {
-    val cand = SimilarityOps.lshCandidates(embeddings, idCol, vecCol, planes, maxBucket)
+      threshold: Double = 0.95, planes: Int = 12, maxBucket: Int = 1000, tables: Int = 4): DataFrame = {
+    val cand = SimilarityOps.lshCandidates(embeddings, idCol, vecCol, planes, maxBucket, tables)
     cand.withColumn("cosine", round(SimilarityOps.cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

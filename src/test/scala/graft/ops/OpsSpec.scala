@@ -182,6 +182,34 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("embedding near-dup recall: multi-table candidates cover most true cos>=0.95 pairs") {
+    // 60 random base vectors + a perturbed near-dup of each: ground truth =
+    // every pair with cosine >= 0.95 by brute force; the bucketed candidate
+    // generation must surface most of them (deterministic planes → stable)
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.max(math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum), 1e-12)
+    }
+    val all = (base ++ dups)
+    val truth = (for {
+      i <- all.indices; j <- all.indices if all(i)._1 < all(j)._1
+      if cosine(all(i)._2, all(j)._2) >= 0.95
+    } yield (all(i)._1, all(j)._1)).toSet
+    assert(truth.size >= 40, s"expected plenty of true near-dup pairs, got ${truth.size}")
+    val found = DedupOps.embeddingNearDup(vecs, threshold = 0.95, planes = 12, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth), s"false positives above threshold: ${found -- truth}")
+    val recall = (found & truth).size.toDouble / truth.size
+    info(f"near-dup pair recall (12 planes x 4 tables): $recall%.3f over ${truth.size} true pairs")
+    assert(recall >= 0.55, f"near-dup recall collapsed: $recall%.3f")
+  }
+
   test("embedding near-dup via LSH buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
