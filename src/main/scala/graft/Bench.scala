@@ -232,15 +232,19 @@ object Bench {
     var t1x = Double.NaN
     var t4x = Double.NaN
     var engCeiling = Double.NaN
-    if (kept.nonEmpty) {
-      val byRatio = kept.sortBy(r => r._2 / r._4)
+    // the per-leg filter can reject EVERY round when two rounds' legs
+    // anti-correlate; real cluster measurements still beat the thread
+    // proxy, so fall back to the unfiltered median and let `suspect` flag it
+    val usable = if (kept.nonEmpty) kept else valid
+    if (usable.nonEmpty) {
+      val byRatio = usable.sortBy(r => r._2 / r._4)
       val (_, t1c, _, t4c) = byRatio((byRatio.size - 1) / 2)
       t1x = t1c; t4x = t4c
       // engine ceiling: median of per-round engine ratios rather than the
       // chosen round's own — the engine legs drift independently, and a
       // single round can read >1.0 (physically impossible), which would
       // silently distort the spark-layer quotient
-      val engRatios = kept.map(r => (r._1 / r._3) / 4.0).filterNot(_.isNaN)
+      val engRatios = usable.map(r => (r._1 / r._3) / 4.0).filterNot(_.isNaN)
       if (engRatios.nonEmpty) engCeiling = median(engRatios)
     } else {
       // fallback: thread-level proxy in fresh in-process sessions

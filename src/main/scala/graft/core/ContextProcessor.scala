@@ -231,7 +231,11 @@ object ContextProcessor {
         catch { case _: JsonLdError => throw JsonLdError(InvalidDefaultLanguage) }
     }
     json.get("@direction").foreach { value =>
-      if (options.processingMode == ProcessingMode.JsonLd10) throw JsonLdError(ProcessingModeConflict)
+      // spec 4.1.2 step 5.10.1: @direction under json-ld-1.0 is INVALID
+      // CONTEXT ENTRY (only @version raises processing mode conflict); the
+      // reference deviates here (context.rs:202) but never runs 1.0 tests,
+      // so the spec wins
+      if (options.processingMode == ProcessingMode.JsonLd10) throw JsonLdError(InvalidContextEntry)
       result.defaultBaseDirection = processDirection(value, nullify = true)
     }
     if (json.contains("@propagate") && options.processingMode == ProcessingMode.JsonLd10)

@@ -54,7 +54,7 @@ object DedupOps {
     * faster plan here, deliberately.
     */
   def minhashSigsJvm(text: String, k: Int, numHashes: Int): Array[Long] = {
-    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    val t = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i + k <= t.length) {
@@ -151,7 +151,9 @@ object DedupOps {
     */
   def jaccardJvm(a: String, b: String, k: Int): Double = {
     def shingleSet(text: String): java.util.HashSet[String] = {
-      val t = text.toLowerCase.replaceAll("\\s+", " ")
+      // Locale.ROOT: default-locale toLowerCase diverges on tr/az JVMs
+      // (dotless i), breaking parity with Catalyst lower()
+      val t = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
       val s = new java.util.HashSet[String]()
       var i = 0
       while (i + k <= t.length) { s.add(t.substring(i, i + k)); i += 1 }
@@ -174,7 +176,7 @@ object DedupOps {
     if (text == null) return 0L
     val votes = new Array[Int](64)
     var start = 0
-    val t = text.toLowerCase
+    val t = text.toLowerCase(java.util.Locale.ROOT)
     val n = t.length
     var i = 0
     while (i <= n) {

@@ -49,7 +49,7 @@ object Materialize {
       .replaceAll("\\$\\$Lambda\\$\\d+(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda")
       .replaceAll("@[0-9a-fA-F]+", "")
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(normalized.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      .digest(normalized.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
   }
 
   private def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {

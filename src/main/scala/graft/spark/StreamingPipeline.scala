@@ -109,7 +109,10 @@ object StreamingPipeline {
       !spark.read.parquet(lineagePath).filter(col("batch_id") === batchId).isEmpty
     if (committed) return false
     val rows = batch.drop("ingest_ts")
-    rows.write.mode("append").parquet(s"$outDir/triples/batch=$batchId")
+    // overwrite, not append: a retry of a batch whose data write succeeded
+    // but whose lineage row did not (the exact failure window the gate
+    // covers) must replace the partial/duplicate dir, not double it
+    rows.write.mode("overwrite").parquet(s"$outDir/triples/batch=$batchId")
     val n = spark.read.parquet(s"$outDir/triples/batch=$batchId").count()
     Seq((batchId, n)).toDF("batch_id", "n_triples")
       .write.mode("append").parquet(lineagePath)
@@ -144,7 +147,9 @@ object StreamingPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.map(td => (td.ingest_ts, td.doc.doc_id,
-        td.doc.spans.map(s => s"${s.kind}|${s.text}|${s.media_ref}").mkString("\u0000")))
+        // control-char separators at BOTH levels: '|' occurs in real text, so
+      // (text="a|b", ref="r") vs (text="a", ref="b|r") must not collide
+      td.doc.spans.map(s => s"${s.kind}\u0001${s.text}\u0001${s.media_ref}").mkString("\u0000")))
       .toDF("ingest_ts", "doc_id", "content")
       .withColumn("content_hash", xxhash64(col("content")))
       .drop("content")
