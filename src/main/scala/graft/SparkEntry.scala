@@ -243,6 +243,20 @@ object SparkEntry {
       DedupOps.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.15, planes = 6)
         .orderBy("id_a", "id_b")
     }),
+    "e06_neardup_verify" -> ((s, d) => {
+      // e03's VERIFICATION stage in isolation (the same verifyNearDup code
+      // path), over an ANSI-expressible candidate set — each id paired with
+      // its next 5 ids via an equi-join — so DuckDB can oracle the
+      // cosine+threshold math; LSH candidate GENERATION stays engine-internal
+      // (e03 rows-only, recall-floored in OpsSpec)
+      val emb = t(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      val cand = a.select(col("id_a"), col("vec_a"),
+          explode(array((1 to 5).map(k => col("id_a") + k): _*)).as("id_b"))
+        .join(b, Seq("id_b"))
+      DedupOps.verifyNearDup(cand, threshold = 0.15).orderBy("id_a", "id_b")
+    }),
     // ---- KG-construction pipeline (engine-internal; rows-only checks) ----
     "j01_expand_triples" -> ((s, d) => {
       pipelineTriples(s, d).toDF().orderBy("doc_id", "subj", "pred", "obj_value")
@@ -503,6 +517,16 @@ object SparkEntry {
          ranked AS (SELECT query_id, cand_id, cosine,
                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank FROM scored)
          SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e06_neardup_verify" ->
+      """WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+         cand AS (SELECT a.id_a, a.id_a + t.k AS id_b, a.va FROM a, unnest([1,2,3,4,5]) AS t(k)),
+         scored AS (
+           SELECT c.id_a, c.id_b,
+                  round(list_dot_product(CAST(c.va AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                        / greatest(sqrt(list_dot_product(CAST(c.va AS DOUBLE[]), CAST(c.va AS DOUBLE[])))
+                                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 1e-12), 6) AS cosine
+           FROM cand c JOIN embeddings b ON b.vec_id = c.id_b)
+         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.15 ORDER BY id_a, id_b""",
     "m04_frame_math" ->
       """WITH m AS (SELECT 'm' || CAST(p_partkey AS VARCHAR) AS media_ref,
                     1000 + (p_partkey * 37) % 59001 AS duration_ms

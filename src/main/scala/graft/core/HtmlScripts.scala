@@ -40,6 +40,17 @@ object HtmlScripts {
     while (i < n) {
       val open = indexOfIgnoreCase(html, "<script", i)
       if (open < 0) return out.result()
+      // skip `<!-- … -->` spans: commented-out markup is never instantiated
+      // as an element by a real HTML parser, so a script inside a comment
+      // must not become a document. An unterminated comment runs to EOF
+      // (HTML spec: comment state swallows the rest of the input). Comments
+      // inside already-consumed script content can't reach here — `i` jumps
+      // past the close tag after each script.
+      val comment = html.indexOf("<!--", i)
+      if (comment >= 0 && comment < open) {
+        val commentEnd = html.indexOf("-->", comment + 4)
+        i = if (commentEnd < 0) n else commentEnd + 3
+      } else {
       val afterTag = open + 7
       // must be a real tag: "<script>" or "<script ..." (not "<scriptx")
       if (afterTag < n && (html.charAt(afterTag) == '>' || html.charAt(afterTag).isWhitespace || html.charAt(afterTag) == '/')) {
@@ -82,6 +93,7 @@ object HtmlScripts {
         val closeGt = if (close < 0) n else html.indexOf('>', close)
         i = if (closeGt < 0) n else closeGt + 1
       } else i = afterTag
+      }
     }
     out.result()
   }

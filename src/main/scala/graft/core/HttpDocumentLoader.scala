@@ -38,7 +38,8 @@ final class HttpDocumentLoader(
     maxRedirects: Int = 10,
     maxAlternateDepth: Int = 4,
     maxCacheEntries: Int = 1024,
-    htmlEnabled: Boolean = false
+    htmlEnabled: Boolean = false,
+    diskCacheDir: Option[String] = None
 ) extends DocumentLoader {
   import HttpDocumentLoader._
 
@@ -76,7 +77,11 @@ final class HttpDocumentLoader(
   def load(iri: String): RemoteDocument = {
     var entry = cache.get(iri)
     if (entry == null) {
-      entry = loadRec(iri, 0)
+      entry = diskGet(iri).orNull
+      if (entry == null) {
+        entry = loadRec(iri, 0)
+        diskPut(iri, entry)
+      }
       cache.put(iri, entry)
     }
     // fresh parse per hit: the tree is mutable and callers may rewrite it.
@@ -160,6 +165,58 @@ final class HttpDocumentLoader(
   private def parseBody(text: String, url: String): graft.json.JsonValue =
     try JsonParser.parse(text)
     catch { case e: Exception => throw JsonLdError(LoadingDocumentFailed, s"$url: ${e.getMessage}") }
+
+  // ---- optional disk-persistent response cache ----
+  // The reference wraps its HTTP clients in a DISK cache middleware
+  // (defaultdocumentloader.rs:25-33) so contexts survive process restarts;
+  // this is the analog: one content-addressed file per IRI (sha-256 of the
+  // IRI as the file name) under `diskCacheDir`, honoring `maxCacheEntries`
+  // by oldest-mtime eviction. Cache failures are never fatal — a corrupt or
+  // unwritable entry just degrades to a refetch.
+
+  private def diskFile(iri: String): Option[java.io.File] = diskCacheDir.map { dir =>
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(iri.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(dir, hex + ".graftcache")
+  }
+
+  private def diskGet(iri: String): Option[CacheEntry] = diskFile(iri).flatMap { f =>
+    if (!f.isFile) None
+    else try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+      try {
+        def str(): String = {
+          val len = in.readInt()
+          val b = new Array[Byte](len); in.readFully(b); new String(b, "UTF-8")
+        }
+        def opt(): Option[String] = if (in.readBoolean()) Some(str()) else None
+        val ct = str(); val ctx = opt(); val body = str()
+        val docUrl = str(); val prof = opt(); val raw = in.readBoolean()
+        Some(CacheEntry(ct, ctx, body, docUrl, prof, raw))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None } // corrupt entry → refetch
+  }
+
+  private def diskPut(iri: String, e: CacheEntry): Unit = diskFile(iri).foreach { f =>
+    try {
+      f.getParentFile.mkdirs()
+      val tmp = java.io.File.createTempFile(f.getName, ".tmp", f.getParentFile)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp)))
+      try {
+        def str(s: String): Unit = { val b = s.getBytes("UTF-8"); out.writeInt(b.length); out.write(b) }
+        def opt(o: Option[String]): Unit = { out.writeBoolean(o.isDefined); o.foreach(str) }
+        str(e.contentType); opt(e.contextUrl); str(e.body)
+        str(e.documentUrl); opt(e.profile); out.writeBoolean(e.rawText)
+      } finally out.close()
+      // atomic publish: a concurrent reader never observes a half-written entry
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val files = f.getParentFile.listFiles((_, name) => name.endsWith(".graftcache"))
+      if (files != null && files.length > maxCacheEntries)
+        files.sortBy(_.lastModified).take(files.length - maxCacheEntries).foreach(_.delete())
+    } catch { case scala.util.control.NonFatal(_) => () } // cache write is best-effort
+  }
 }
 
 object HttpDocumentLoader {

@@ -229,14 +229,23 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The verification stage of [[embeddingNearDup]] in isolation: score each
+    * candidate pair (id_a, id_b, vec_a, vec_b) with the codegen'd cosine and
+    * keep pairs at or above `threshold`. Factored out so the cosine+threshold
+    * math is DuckDB-oracleable over an ANSI-expressible candidate set
+    * (SparkEntry e06) while the LSH candidate generation stays
+    * engine-internal.
+    */
+  def verifyNearDup(cand: DataFrame, threshold: Double): DataFrame =
+    cand.withColumn("cosine", round(SimilarityOps.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+
   /** Embedding cosine near-dup: normalized dot product ≥ threshold, over
     * LSH-bucketed candidates (random-hyperplane signs; see SimilarityOps).
     */
   def embeddingNearDup(embeddings: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.95, planes: Int = 12, maxBucket: Int = 1000, tables: Int = 4): DataFrame = {
-    val cand = SimilarityOps.lshCandidates(embeddings, idCol, vecCol, planes, maxBucket, tables)
-    cand.withColumn("cosine", round(SimilarityOps.cosine(col("vec_a"), col("vec_b")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
-  }
+      threshold: Double = 0.95, planes: Int = 12, maxBucket: Int = 1000, tables: Int = 4): DataFrame =
+    verifyNearDup(
+      SimilarityOps.lshCandidates(embeddings, idCol, vecCol, planes, maxBucket, tables), threshold)
 }

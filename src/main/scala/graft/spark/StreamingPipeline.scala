@@ -95,19 +95,51 @@ object StreamingPipeline {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // Committed-batch ids per lineage path, cached in driver memory after ONE
+  // read: the previous gate re-scanned the whole lineage parquet every
+  // micro-batch — O(batches²) driver I/O over a long-running stream. The
+  // cache is appended to on every successful lineage write, so only a fresh
+  // driver JVM (a true restart) pays the lineage read again. Bounded: 8
+  // bytes per committed batch id.
+  private val committedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
+  /** Lineage parquet loads actually performed, per lineage path (test
+    * observability: StreamingSpec asserts batch k>0 does not rescan lineage).
+    */
+  private val lineageReloads =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[spark] def lineageReloadCount(outDir: String): Long = {
+    val c = lineageReloads.get(s"$outDir/stream_lineage")
+    if (c == null) 0L else c.get()
+  }
+  /** Drop the cached committed ids — simulates a fresh driver JVM. */
+  private[spark] def invalidateLineageCache(outDir: String): Unit =
+    committedCache.remove(s"$outDir/stream_lineage")
+
+  private def committedIds(spark: SparkSession, lineagePath: String): java.util.Set[java.lang.Long] =
+    committedCache.computeIfAbsent(lineagePath, { p =>
+      lineageReloads.computeIfAbsent(p, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+        .incrementAndGet()
+      val s = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+      if (pathExists(spark, p))
+        spark.read.parquet(p).select("batch_id").collect().foreach(r => s.add(r.getLong(0)))
+      s
+    })
+
   /** Append one micro-batch of triples durably: data first, then the lineage
     * row — and skip batch ids that already have a lineage row. foreachBatch
     * is at-least-once on failure/restart; the lineage gate layers idempotence
     * on top (same pattern as Materialize's bucket lineage). Returns false
-    * when the batch was skipped as already committed.
+    * when the batch was skipped as already committed. The committed check is
+    * O(1) against the driver-side cache; the lineage table is read once per
+    * driver JVM, not once per batch.
     */
   def appendTriplesBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long, outDir: String): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
     val lineagePath = s"$outDir/stream_lineage"
-    val committed = pathExists(spark, lineagePath) &&
-      !spark.read.parquet(lineagePath).filter(col("batch_id") === batchId).isEmpty
-    if (committed) return false
+    val ids = committedIds(spark, lineagePath)
+    if (ids.contains(Long.box(batchId))) return false
     val rows = batch.drop("ingest_ts")
     // overwrite, not append: a retry of a batch whose data write succeeded
     // but whose lineage row did not (the exact failure window the gate
@@ -116,6 +148,9 @@ object StreamingPipeline {
     val n = spark.read.parquet(s"$outDir/triples/batch=$batchId").count()
     Seq((batchId, n)).toDF("batch_id", "n_triples")
       .write.mode("append").parquet(lineagePath)
+    // only after the lineage row is durable — a failed lineage write must
+    // leave the id uncached so the retry re-runs the overwrite path
+    ids.add(Long.box(batchId))
     true
   }
 

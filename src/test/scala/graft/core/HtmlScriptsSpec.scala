@@ -66,10 +66,41 @@ class HtmlScriptsSpec extends AnyFunSuite {
     assert(err.code == ErrorCode.LoadingDocumentFailed)
   }
 
+  test("scripts inside HTML comments are never extracted") {
+    // a real HTML parser never instantiates commented-out markup, so
+    // `<!-- <script …> -->` must not yield a phantom document
+    val commentedOnly =
+      """<html><head>
+        |<!-- <script type="application/ld+json">{"@id": "http://n/phantom"}</script> -->
+        |</head></html>""".stripMargin
+    assert(HtmlScripts.scripts(commentedOnly).isEmpty)
+    val err = intercept[JsonLdError] {
+      HtmlScripts.extract(commentedOnly, None, extractAllScripts = true)
+    }
+    assert(err.code == ErrorCode.LoadingDocumentFailed)
+    // commented script before AND after a live one: only the live one survives
+    val mixed =
+      """<!-- <script type="application/ld+json">{"@id": "http://n/ghost1"}</script> -->
+        |<script type="application/ld+json">{"@id": "http://n/live"}</script>
+        |<!-- <script type="application/ld+json">{"@id": "http://n/ghost2"}</script> -->""".stripMargin
+    val live = HtmlScripts.scripts(mixed)
+    assert(live.size == 1 && live(0).content.contains("http://n/live"))
+    // unterminated comment swallows the rest of the input (HTML comment state)
+    val unterminated =
+      """<!-- <script type="application/ld+json">{"@id": "http://n/x"}</script>"""
+    assert(HtmlScripts.scripts(unterminated).isEmpty)
+    // comment-lookalike INSIDE script raw text does not hide later scripts
+    val rawText =
+      """<script type="text/javascript">var s = "<!--";</script>
+        |<script type="application/ld+json">{"@id": "http://n/after"}</script>""".stripMargin
+    val after = HtmlScripts.scripts(rawText)
+    assert(after.size == 2 && after(1).content.contains("http://n/after"))
+  }
+
   test("fuzz: the scanner never throws anything but JsonLdError on hostile markup") {
     // corpus operators must degrade to error-channel rows, never kill a task
     val rnd = new scala.util.Random(20260817L)
-    val alphabet = "<script type=\"application/ld+json\">{}[]'= /abc\t\n"
+    val alphabet = "<script type=\"application/ld+json\">{}[]'= /abc\t\n!--"
     var i = 0
     while (i < 3000) {
       val s = Array.fill(rnd.nextInt(80))(alphabet(rnd.nextInt(alphabet.length))).mkString
@@ -84,6 +115,12 @@ class HtmlScriptsSpec extends AnyFunSuite {
     (0 until page.length).foreach { cut =>
       val s = page.substring(0, cut)
       try { HtmlScripts.extract(s, None, extractAllScripts = true) }
+      catch { case _: JsonLdError => }
+    }
+    // same truncation sweep over a comment-wrapped page
+    val cpage = """<!-- <script type="application/ld+json">{"x":1}</script> --><script type="application/ld+json">{"y":2}</script>"""
+    (0 until cpage.length).foreach { cut =>
+      try { HtmlScripts.extract(cpage.substring(0, cut), None, extractAllScripts = true) }
       catch { case _: JsonLdError => }
     }
   }

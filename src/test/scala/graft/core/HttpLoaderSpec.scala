@@ -173,6 +173,42 @@ class HttpLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hitCount.get() == 1)
   }
 
+  test("disk cache: a SECOND loader instance serves from disk with zero network hits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-disk").toString
+    hitCount.set(0)
+    val first = new HttpDocumentLoader(diskCacheDir = Some(dir))
+    val d1 = first.load(s"$base/counted.jsonld")
+    assert(hitCount.get() == 1)
+    // fresh instance = simulated driver restart: in-memory LRU is empty,
+    // the disk entry must satisfy the load without touching the network
+    val second = new HttpDocumentLoader(diskCacheDir = Some(dir))
+    val d2 = second.load(s"$base/counted.jsonld")
+    assert(hitCount.get() == 1, s"disk-cached load still hit the server (${hitCount.get()} hits)")
+    assert(d2.document == d1.document)
+    assert(d2.contentType == d1.contentType && d2.documentUrl == d1.documentUrl)
+    // corrupt entry degrades to a refetch, never a failure
+    val files = new java.io.File(dir).listFiles((_, n) => n.endsWith(".graftcache"))
+    assert(files.nonEmpty, "disk cache wrote no entry")
+    files.foreach { f => java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3)) }
+    val third = new HttpDocumentLoader(diskCacheDir = Some(dir))
+    val d3 = third.load(s"$base/counted.jsonld")
+    assert(d3.document == d1.document)
+    assert(hitCount.get() == 2, "corrupt disk entry should have refetched once")
+  }
+
+  test("disk cache honors maxCacheEntries by evicting oldest entries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-evict").toString
+    val l = new HttpDocumentLoader(diskCacheDir = Some(dir), maxCacheEntries = 2)
+    // three distinct IRIs (same endpoint, different query strings → distinct keys)
+    l.load(s"$base/real.jsonld")
+    Thread.sleep(20) // mtime granularity
+    l.load(s"$base/real.jsonld?v=2")
+    Thread.sleep(20)
+    l.load(s"$base/real.jsonld?v=3")
+    val files = new java.io.File(dir).listFiles((_, n) => n.endsWith(".graftcache"))
+    assert(files.length == 2, s"expected 2 surviving entries, got ${files.length}")
+  }
+
   test("driver-side resolution: pool first, HTTP fetcher for unknown IRIs, failures dropped") {
     val resolved = graft.spark.RemoteContextPool.resolveAll(
       Vector(

@@ -126,6 +126,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lineage gate is O(1) per batch: the lineage table is read once per JVM, not once per batch") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-o1").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+    def batchDf(tag: String) = Seq((t0, s"http://s/$tag", "http://p/x", "o"))
+      .toDF("ingest_ts", "subj", "pred", "obj")
+    assert(StreamingPipeline.lineageReloadCount(outDir) == 0L)
+    assert(StreamingPipeline.appendTriplesBatch(batchDf("a"), 0L, outDir))
+    assert(StreamingPipeline.appendTriplesBatch(batchDf("b"), 1L, outDir))
+    assert(StreamingPipeline.appendTriplesBatch(batchDf("c"), 2L, outDir))
+    assert(!StreamingPipeline.appendTriplesBatch(batchDf("a"), 0L, outDir)) // replay → no-op
+    // the whole sequence cost exactly ONE lineage load (batch 2+ and the
+    // replay check hit the driver cache — the O(batches²) rescan is gone)
+    assert(StreamingPipeline.lineageReloadCount(outDir) == 1L)
+    // a fresh driver JVM (simulated by cache invalidation) re-reads lineage
+    // ONCE and still refuses committed ids — restart idempotence intact
+    StreamingPipeline.invalidateLineageCache(outDir)
+    assert(!StreamingPipeline.appendTriplesBatch(batchDf("a"), 0L, outDir))
+    assert(StreamingPipeline.appendTriplesBatch(batchDf("d"), 3L, outDir))
+    assert(StreamingPipeline.lineageReloadCount(outDir) == 2L)
+    val lineage = spark.read.parquet(s"$outDir/stream_lineage")
+    assert(lineage.select("batch_id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("streaming dedup drops in-horizon duplicates with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
