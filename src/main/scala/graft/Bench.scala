@@ -52,6 +52,16 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").count()
       all.get("q01_agg_pricing").foreach(fn => fn(spark, sfDir).count())
+      // tiny-sample kernel warmup: UDF classload + codegen for the minhash /
+      // simhash / vector expressions otherwise lands entirely on the FIRST
+      // measured d*/e* query (d04 read ~1 s of one-time cost in driver runs
+      // vs its 1.4-1.7 s steady-state warm timing). 64-row samples keep the
+      // warmup in the low seconds while touching every kernel class.
+      val docsSample = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      graft.ops.DedupOps.minhashLsh(docsSample).count()
+      graft.ops.DedupOps.simhashPairs(docsSample).count()
+      val embSample = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+      graft.ops.SimilarityOps.lshTopK(embSample, embSample.limit(4), "vec_id", "embedding", k = 2).count()
     } catch {
       // NonFatal only: an OOM/linkage error here must surface now, not
       // resurface confusingly inside the first timed query

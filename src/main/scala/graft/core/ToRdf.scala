@@ -322,7 +322,9 @@ object ToRdf {
     var mant = mant0
     if (mant.contains('.')) {
       mant = mant.reverse.dropWhile(_ == '0').reverse
-      if (mant.endsWith(".")) mant = mant.dropRight(1)
+      // canonical xsd:double keeps one digit after the point: 1e21 must
+      // serialize as "1.0E21", not "1E21" (caught by fixture r0030)
+      if (mant.endsWith(".")) mant = mant + "0"
     }
     val exp = exp0.toInt
     s"${mant}E$exp"
