@@ -124,6 +124,16 @@ class W3CSuiteSpec extends AnyFunSuite {
   // fromRdf/<id>-in.nq + <id>-out.jsonld [+ <id>-options.json]
   private val fromRdfDir = root.resolve("fromRdf")
   for (id <- listCases(fromRdfDir, suffix = "-in.nq")) {
+    val errFile = fromRdfDir.resolve(s"$id-error.txt")
+    if (Files.exists(errFile)) {
+      test(s"fromRdf/$id (negative)") {
+        val dataset = BnodeCanon.parseNQuads(readFile(fromRdfDir.resolve(s"$id-in.nq")))
+        val opts = optionsFor(fromRdfDir, id, s"http://example.org/t/$id-in.nq")
+        val expected = readFile(errFile).trim
+        val err = intercept[JsonLdError] { JsonLdApi.fromRdf(dataset, opts) }
+        assert(err.code.rendered == expected, s"got: ${err.render}")
+      }
+    } else
     test(s"fromRdf/$id") {
       val dataset = BnodeCanon.parseNQuads(readFile(fromRdfDir.resolve(s"$id-in.nq")))
       val opts = optionsFor(fromRdfDir, id, s"http://example.org/t/$id-in.nq")
