@@ -355,6 +355,41 @@ object SparkEntry {
       }.toDF("doc_id", "n_articles")
         .filter(col("n_articles") > 0).orderBy("doc_id")
     }),
+    "j09_compact_roundtrip" -> ((s, d) => {
+      // the compact API at corpus scale (the one API the j-series didn't
+      // exercise): expand → compact against the vocab context → re-expand
+      // must reproduce the expanded document exactly (json_ld_eq) —
+      // self-checking rows-only query: a doc survives only when EVERY
+      // jsonld span round-trips
+      import s.implicits._
+      val ctxB = s.sparkContext.broadcast(RemoteContextPool.pool)
+      val ctxTxt = """{"@context": {"@vocab": "http://graft.example/vocab/"}}"""
+      pipelineDocs(s, d).mapPartitions { it =>
+        val loader = RemoteContextPool.loaderFor(ctxB.value)
+        val ctxDoc = graft.json.JsonParser.parse(ctxTxt)
+        it.map { doc =>
+          var ok = 0L; var total = 0L
+          doc.spans.filter(_.kind == "jsonld").sortBy(_.offset).foreach { span =>
+            total += 1
+            try {
+              val opts = graft.core.JsonLdOptions(
+                base = Some(s"${ExpandStage.DocNs}${doc.doc_id}/span/${span.offset}"))
+              val expanded = graft.core.JsonLdApi.expand(
+                graft.core.JsonLdInput.Doc(graft.json.JsonParser.parse(span.text)), opts, loader)
+              val compacted = graft.core.JsonLdApi.compact(
+                graft.core.JsonLdInput.Doc(graft.json.JsonParser.parse(span.text)),
+                Some(ctxDoc.deepCopy), opts, loader)
+              val re = graft.core.JsonLdApi.expand(
+                graft.core.JsonLdInput.Doc(compacted), opts, loader)
+              if (graft.json.JsonEq.jsonLdEq(re, expanded, ordered = false)) ok += 1
+            } catch { case _: graft.core.JsonLdError => }
+          }
+          (doc.doc_id, total, ok)
+        }
+      }.toDF("doc_id", "n_spans", "n_roundtrip_ok")
+        .filter(col("n_spans") > 0 && col("n_spans") === col("n_roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
     "j08_html_pages" -> ((s, d) => {
       // corpus-scale HTML ingestion: wrap every jsonld span into a web page
       // and run it through the html span path; a doc survives only when the
@@ -542,8 +577,9 @@ object SparkEntry {
            CAST(greatest(1, CAST(round(width * scale, 0) AS INT)) AS BIGINT) AS out_width,
            CAST(greatest(1, CAST(round(height * scale, 0) AS INT)) AS BIGINT) AS out_height
          FROM r ORDER BY p_partkey"""
-    // d04/d05/d07, e02/e03/e04, j*, m01/m02: engine-internal (xxhash64 / LSH
-    // signatures, JSON-LD expansion, stub-decoded metadata) — not
-    // ANSI-expressible; driver applies the rows-only check.
+    // d04/d05/d07, e02/e03/e04, j* (incl. the self-checking j08 html-parity
+    // and j09 compact-roundtrip queries), m01/m02: engine-internal
+    // (xxhash64 / LSH signatures, JSON-LD expansion, stub-decoded metadata)
+    // — not ANSI-expressible; driver applies the rows-only check.
   )
 }

@@ -185,4 +185,17 @@ class PipelineSpec extends AnyFunSuite {
         s"fixture $id: distributed relabeling changed the canonical graph\norig:\n$canonOrig\nrelabeled:\n$canonRelabeled")
     }
   }
+
+  test("j09 compact roundtrip holds for EVERY doc that has a jsonld span (not just most)") {
+    import spark.implicits._
+    // j09 filters to docs whose spans ALL roundtrip; if compaction lost
+    // information anywhere, its row count would drop below the number of
+    // docs that have a jsonld span at all
+    val surviving = graft.SparkEntry.queries("j09_compact_roundtrip")(spark, "/root/testdata/sf0.001").count()
+    val withJsonld = SyntheticDocs.generate(spark, 500L, 8)
+      .filter(_.spans.exists(_.kind == "jsonld")).count()
+    assert(withJsonld > 300, s"corpus shape changed: only $withJsonld/500 docs with jsonld spans")
+    assert(surviving == withJsonld,
+      s"compact∘expand roundtrip failed on ${withJsonld - surviving} of $withJsonld docs")
+  }
 }
