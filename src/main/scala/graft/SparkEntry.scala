@@ -376,9 +376,11 @@ object SparkEntry {
                 base = Some(s"${ExpandStage.DocNs}${doc.doc_id}/span/${span.offset}"))
               val expanded = graft.core.JsonLdApi.expand(
                 graft.core.JsonLdInput.Doc(graft.json.JsonParser.parse(span.text)), opts, loader)
-              val compacted = graft.core.JsonLdApi.compact(
-                graft.core.JsonLdInput.Doc(graft.json.JsonParser.parse(span.text)),
-                Some(ctxDoc.deepCopy), opts, loader)
+              // compactPreExpanded: expansion runs once, not re-run inside
+              // compact; deepCopy because compaction may mutate its input
+              // and `expanded` is the comparison target below
+              val compacted = graft.core.JsonLdApi.compactPreExpanded(
+                expanded.deepCopy.asArr.get, Some(ctxDoc.deepCopy), opts, loader)
               val re = graft.core.JsonLdApi.expand(
                 graft.core.JsonLdInput.Doc(compacted), opts, loader)
               if (graft.json.JsonEq.jsonLdEq(re, expanded, ordered = false)) ok += 1

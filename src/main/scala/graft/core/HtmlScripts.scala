@@ -42,13 +42,19 @@ object HtmlScripts {
       if (open < 0) return out.result()
       // skip `<!-- … -->` spans: commented-out markup is never instantiated
       // as an element by a real HTML parser, so a script inside a comment
-      // must not become a document. An unterminated comment runs to EOF
-      // (HTML spec: comment state swallows the rest of the input). Comments
-      // inside already-consumed script content can't reach here — `i` jumps
-      // past the close tag after each script.
+      // must not become a document. The `-->` search starts at comment+2 so
+      // the spec's abruptly-closed comments (`<!-->`, `<!--->`) terminate
+      // immediately instead of swallowing the document. An unterminated
+      // comment runs to EOF (HTML comment state). Comments inside
+      // already-consumed script content can't reach here — `i` jumps past
+      // the close tag after each script. Known lexer limitation (this is a
+      // non-DOM scanner): a `<!--` inside an RCDATA element (<textarea>,
+      // <title>) or inside an attribute value is treated as a comment
+      // opener even though a real tokenizer would not — same class of
+      // approximation as the rest of this minimal scanner.
       val comment = html.indexOf("<!--", i)
       if (comment >= 0 && comment < open) {
-        val commentEnd = html.indexOf("-->", comment + 4)
+        val commentEnd = html.indexOf("-->", comment + 2)
         i = if (commentEnd < 0) n else commentEnd + 3
       } else {
       val afterTag = open + 7

@@ -176,17 +176,28 @@ final class HttpDocumentLoader(
 
   private def diskFile(iri: String): Option[java.io.File] = diskCacheDir.map { dir =>
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val hex = md.digest(iri.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the key covers the loader CONFIGURATION too, not just the IRI: an
+    // entry fetched with a different Accept header (requestProfile) or
+    // under htmlEnabled may hold a different response than this loader
+    // would fetch — config-mismatched entries must miss, not serve
+    val key = s"$iri\u0000$accept\u0000$htmlEnabled"
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     new java.io.File(dir, hex + ".graftcache")
   }
 
   private def diskGet(iri: String): Option[CacheEntry] = diskFile(iri).flatMap { f =>
     if (!f.isFile) None
     else try {
+      val fileLen = f.length()
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
       try {
         def str(): String = {
           val len = in.readInt()
+          // length field must fit the file: a corrupt header must degrade
+          // to a refetch, not attempt a multi-GB allocation (OutOfMemoryError
+          // is not NonFatal and would escape the catch below)
+          if (len < 0 || len > fileLen)
+            throw new java.io.IOException(s"corrupt cache entry: len=$len file=$fileLen")
           val b = new Array[Byte](len); in.readFully(b); new String(b, "UTF-8")
         }
         def opt(): Option[String] = if (in.readBoolean()) Some(str()) else None

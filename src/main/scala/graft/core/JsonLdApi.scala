@@ -197,6 +197,23 @@ object JsonLdApi {
     Framing.cleanup(compacted).asObj.get
   }
 
+  /** Compact a document that is ALREADY in expanded form, skipping the
+    * internal re-expansion that [[compact]] performs on its input. For
+    * callers that hold the expanded tree anyway (the corpus-scale
+    * compact-roundtrip query expands once, compacts, re-expands), this
+    * halves the expansion work. The input tree may be mutated — pass a
+    * deepCopy when it is needed afterwards.
+    */
+  def compactPreExpanded(
+      expanded: JArr,
+      ctx: Option[JsonValue],
+      options: JsonLdOptions,
+      loader: DocumentLoader = DocumentLoader.empty
+  ): JObj = {
+    val state = new ApiState(options, loader)
+    compactExpanded(expanded, ctx, options.base.map(parseBase), state)
+  }
+
   /** Shared tail of compact/flatten: compact an already-expanded input
     * against a supplied context and re-shape per /root/reference/src/lib.rs:305-364.
     */

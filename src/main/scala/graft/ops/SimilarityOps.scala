@@ -56,6 +56,11 @@ object SimilarityOps {
     * the vector, which is the heaviest column in the job at 100 TB. Vectors
     * are joined back by id at verification/scoring time only (the same
     * id-join-back pattern as `DedupOps.minhashLsh`'s text verification).
+    *
+    * Contract: because of the join-back, the input DataFrame is scanned
+    * MORE THAN ONCE and must be deterministic under recomputation (parquet
+    * reads are; a bare `.limit(n)` or fresh-random source is not — order
+    * or checkpoint such inputs first, as Bench's warmup does).
     */
   private[ops] def bandedSignatures(df: DataFrame, idCol: String, vecCol: String,
       planes: Int, tables: Int, outId: String): DataFrame =

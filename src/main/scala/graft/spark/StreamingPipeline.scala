@@ -138,6 +138,14 @@ object StreamingPipeline {
     val spark = batch.sparkSession
     import spark.implicits._
     val lineagePath = s"$outDir/stream_lineage"
+    // staleness guard: if the lineage table vanished (outDir deleted and
+    // recreated inside one driver JVM — notebook rerun, test cleanup), a
+    // cached id set would silently refuse every batch of the new run. One
+    // FS metadata call per batch (NOT the old full parquet scan) detects
+    // that and drops the stale cache.
+    val cached = committedCache.get(lineagePath)
+    if (cached != null && !cached.isEmpty && !pathExists(spark, lineagePath))
+      committedCache.remove(lineagePath)
     val ids = committedIds(spark, lineagePath)
     if (ids.contains(Long.box(batchId))) return false
     val rows = batch.drop("ingest_ts")

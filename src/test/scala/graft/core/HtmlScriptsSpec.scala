@@ -95,6 +95,12 @@ class HtmlScriptsSpec extends AnyFunSuite {
         |<script type="application/ld+json">{"@id": "http://n/after"}</script>""".stripMargin
     val after = HtmlScripts.scripts(rawText)
     assert(after.size == 2 && after(1).content.contains("http://n/after"))
+    // abruptly-closed comments (`<!-->`, `<!--->`) are COMPLETE comments
+    // per the HTML spec — they must not swallow a following live script
+    val abrupt1 = """<!--><script type="application/ld+json">{"@id": "http://n/a1"}</script>"""
+    assert(HtmlScripts.scripts(abrupt1).size == 1)
+    val abrupt2 = """<!---><script type="application/ld+json">{"@id": "http://n/a2"}</script>"""
+    assert(HtmlScripts.scripts(abrupt2).size == 1)
   }
 
   test("fuzz: the scanner never throws anything but JsonLdError on hostile markup") {

@@ -148,6 +148,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingPipeline.lineageReloadCount(outDir) == 2L)
     val lineage = spark.read.parquet(s"$outDir/stream_lineage")
     assert(lineage.select("batch_id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+    // outDir deleted and recreated inside the SAME JVM (notebook rerun /
+    // test cleanup): the cached committed ids must not refuse the new
+    // run's batch 0 — the per-batch existence check drops the stale cache
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles; if (fs != null) fs.foreach(rm) }
+      f.delete(); ()
+    }
+    rm(new java.io.File(outDir))
+    assert(StreamingPipeline.appendTriplesBatch(batchDf("fresh"), 0L, outDir),
+      "stale committed-id cache refused batch 0 of a recreated outDir")
+    assert(spark.read.parquet(s"$outDir/triples/batch=0").count() == 1L)
   }
 
   test("streaming dedup drops in-horizon duplicates with bounded state") {
