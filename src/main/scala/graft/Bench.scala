@@ -316,8 +316,13 @@ object Bench {
     // measured AFTER the rounds (different drift window) and compare a
     // different workload's scaling — they are reported as context and do
     // not gate: the same-window gate evidence is hw_normalized_efficiency.
+    // NaN comparisons are false, so the normalized-evidence ABSENCE must be
+    // flagged explicitly: a cluster-mode run where every hw probe failed the
+    // plausibility band would otherwise certify the gate on raw efficiency
+    // alone with suspect=false (the thread-proxy fallback legitimately has
+    // no probes and is exempt)
     val suspect = efficiency > 1.05 || hwRoundCeiling > 1.05 || hwNormalized > 1.5 ||
-      kept.isEmpty
+      kept.isEmpty || (hwNormalized.isNaN && mode == "local-cluster-executors")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"

@@ -176,11 +176,12 @@ final class HttpDocumentLoader(
 
   private def diskFile(iri: String): Option[java.io.File] = diskCacheDir.map { dir =>
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    // the key covers the loader CONFIGURATION too, not just the IRI: an
-    // entry fetched with a different Accept header (requestProfile) or
-    // under htmlEnabled may hold a different response than this loader
-    // would fetch — config-mismatched entries must miss, not serve
-    val key = s"$iri\u0000$accept\u0000$htmlEnabled"
+    // the key covers the full loader CONFIGURATION, not just the IRI: an
+    // entry fetched with a different Accept header (requestProfile), under
+    // htmlEnabled, or through different redirect/alternate-link budgets may
+    // hold a different response than this loader would fetch —
+    // config-mismatched entries must miss, not serve
+    val key = s"$iri\u0000$accept\u0000$htmlEnabled\u0000$maxRedirects\u0000$maxAlternateDepth"
     val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     new java.io.File(dir, hex + ".graftcache")
   }

@@ -203,6 +203,12 @@ object JsonLdApi {
     * compact-roundtrip query expands once, compacts, re-expands), this
     * halves the expansion work. The input tree may be mutated — pass a
     * deepCopy when it is needed afterwards.
+    *
+    * Equivalent to [[compact]] for Doc-style inputs (pinned across every
+    * positive compact fixture by W3CSuiteSpec). Caveat for REMOTE inputs:
+    * [[compact]] derives the context base from the document URL; here the
+    * caller must put that URL in `options.base` themselves — there is no
+    * RemoteDocument to read it from.
     */
   def compactPreExpanded(
       expanded: JArr,

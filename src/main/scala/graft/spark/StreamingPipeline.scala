@@ -138,16 +138,18 @@ object StreamingPipeline {
     val spark = batch.sparkSession
     import spark.implicits._
     val lineagePath = s"$outDir/stream_lineage"
-    // staleness guard: if the lineage table vanished (outDir deleted and
-    // recreated inside one driver JVM — notebook rerun, test cleanup), a
-    // cached id set would silently refuse every batch of the new run. One
-    // FS metadata call per batch (NOT the old full parquet scan) detects
-    // that and drops the stale cache.
-    val cached = committedCache.get(lineagePath)
-    if (cached != null && !cached.isEmpty && !pathExists(spark, lineagePath))
+    var ids = committedIds(spark, lineagePath)
+    if (ids.contains(Long.box(batchId))) {
+      // about to REFUSE the batch — the only case where a stale cache can
+      // cause harm (outDir deleted and recreated inside one driver JVM:
+      // notebook rerun, test cleanup). Verify the lineage table still
+      // exists before refusing; the FS metadata call sits on this rare
+      // refusal path only, so the common path stays zero-I/O per batch.
+      if (pathExists(spark, lineagePath)) return false
       committedCache.remove(lineagePath)
-    val ids = committedIds(spark, lineagePath)
-    if (ids.contains(Long.box(batchId))) return false
+      ids = committedIds(spark, lineagePath)
+      if (ids.contains(Long.box(batchId))) return false
+    }
     val rows = batch.drop("ingest_ts")
     // overwrite, not append: a retry of a batch whose data write succeeded
     // but whose lineage row did not (the exact failure window the gate

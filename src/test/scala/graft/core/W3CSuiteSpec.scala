@@ -163,6 +163,24 @@ class W3CSuiteSpec extends AnyFunSuite {
   // compact/<id>-{in,context,out}.jsonld : expand(in) then compact with context
   // compact/<id>-error.txt replaces -out: the rendered error string expected
   private val compactDir = root.resolve("compact")
+
+  test("compactPreExpanded equals compact on every positive compact fixture") {
+    // the pre-expanded entry point (used by the corpus-scale j09 query)
+    // must never drift from the canonical compact() path
+    for (id <- listCases(compactDir)
+         if !Files.exists(compactDir.resolve(s"$id-error.txt"))) {
+      val input = JsonParser.parse(readFile(compactDir.resolve(s"$id-in.jsonld")))
+      val ctx = JsonParser.parse(readFile(compactDir.resolve(s"$id-context.jsonld")))
+      val opts = optionsFor(compactDir, id, s"http://example.org/t/$id-in.jsonld")
+      val viaCompact = JsonLdApi.compact(
+        JsonLdInput.Doc(input.deepCopy), Some(ctx.deepCopy), opts, loader)
+      val expanded = JsonLdApi.expand(JsonLdInput.Doc(input.deepCopy), opts, loader)
+      val viaPre = JsonLdApi.compactPreExpanded(expanded, Some(ctx.deepCopy), opts, loader)
+      assert(JsonEq.jsonLdEq(viaPre, viaCompact, ordered = false),
+        s"fixture $id: compactPreExpanded diverged from compact\nvia compact: ${JsonWriter.write(viaCompact)}\nvia pre:     ${JsonWriter.write(viaPre)}")
+    }
+  }
+
   for (id <- listCases(compactDir)) {
     val errFile = compactDir.resolve(s"$id-error.txt")
     if (Files.exists(errFile)) {
