@@ -506,7 +506,13 @@ object Expansion {
               .map[JsonValue](JStr.apply).getOrElse(JNull)
             addValue(result, expandedProperty, expanded, asArray = false)
           case arr: JArr =>
-            arr.foreach { item =>
+            // under frame expansion an empty @type array is preserved, not
+            // dropped — framing relies on [] as the "match no type" pattern
+            // (Framing §2.1). Normal mode drops it, matching the reference
+            // (expand.rs:677-685, whose per-item loop adds nothing for []).
+            if (arr.isEmpty && options.frameExpansion && !result.contains(expandedProperty))
+              result.put(expandedProperty, new JArr())
+            else arr.foreach { item =>
               val iri = item.asString.getOrElse(throw JsonLdError(InvalidTypeValue))
               val expanded = expandIri(typeScopedContext, iri, documentRelative = true, vocab = true)
                 .map[JsonValue](JStr.apply).getOrElse(JNull)
