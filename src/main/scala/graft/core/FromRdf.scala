@@ -28,8 +28,12 @@ object FromRdf {
   def fromRdf(dataset: Vector[Triple], options: JsonLdOptions): JArr = {
     val defaultGraph = mutable.LinkedHashMap[String, JObj]()
     val graphMap = mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, JObj]]("@default" -> defaultGraph)
-    // Some(usage) = blank node referenced exactly once; None = more than once
-    val referencedOnce = mutable.Map[String, Option[Usage]]()
+    // Some(usage) = blank node referenced exactly once WITHIN a graph; None =
+    // more than once. Keyed (graph name, bnode id): node maps — and therefore
+    // list/compound-literal reconstruction — are per graph (§8.2 step 3), so
+    // a reference in the default graph must never consume rdf:first/rdf:rest
+    // chains that live in a named graph.
+    val referencedOnce = mutable.Map[(String, String), Option[Usage]]()
     val compoundLiteralSubjects = mutable.Map[String, mutable.LinkedHashSet[String]]()
     val nilUsages = mutable.Map[String, mutable.ArrayBuffer[Usage]]()
 
@@ -70,10 +74,10 @@ object FromRdf {
           if (objIsNode) {
             if (t.objValue == RdfNil)
               nilUsages.getOrElseUpdate(name, mutable.ArrayBuffer()) += Usage(node, t.pred, stored)
-            else if (referencedOnce.contains(t.objValue))
-              referencedOnce(t.objValue) = None
+            else if (referencedOnce.contains((name, t.objValue)))
+              referencedOnce((name, t.objValue)) = None
             else if (t.objValue.startsWith("_:"))
-              referencedOnce(t.objValue) = Some(Usage(node, t.pred, stored))
+              referencedOnce((name, t.objValue)) = Some(Usage(node, t.pred, stored))
           }
         }
       }
@@ -82,7 +86,7 @@ object FromRdf {
     for ((name, graphObject) <- graphMap) {
       // compound rdf:direction literals → @value/@language/@direction in place
       for (cl <- compoundLiteralSubjects.getOrElse(name, mutable.LinkedHashSet())) {
-        referencedOnce.getOrElse(cl, None).foreach { entry =>
+        referencedOnce.getOrElse((name, cl), None).foreach { entry =>
           graphObject.remove(cl).foreach { clNode =>
             def first(pred: String): Option[JsonValue] =
               clNode.get(pred).flatMap(_.asArr).filter(_.nonEmpty).map(_(0))
@@ -114,11 +118,11 @@ object FromRdf {
         var continueWalk = true
         while (continueWalk && property == RdfRest && isWellFormedListNode(node) &&
             node.get("@id").flatMap(_.asString).exists(id =>
-              id.startsWith("_:") && referencedOnce.getOrElse(id, None).isDefined)) {
+              id.startsWith("_:") && referencedOnce.getOrElse((name, id), None).isDefined)) {
           val id = node.get("@id").flatMap(_.asString).get
           list += node.get(RdfFirst).flatMap(_.asArr).map(_(0)).get
           listNodes += id
-          val next = referencedOnce(id).get
+          val next = referencedOnce((name, id)).get
           node = next.node; property = next.property; head = next.value
           if (node.get("@id").flatMap(_.asString).exists(!_.startsWith("_:"))) continueWalk = false
         }
