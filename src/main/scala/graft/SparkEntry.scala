@@ -163,6 +163,29 @@ object SparkEntry {
                GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
                ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""")
     }),
+    "q19_percentile" -> ((s, d) => {
+      // order-statistics aggregates: exact interpolated percentile (R-7, the
+      // same formula as DuckDB quantile_cont)
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q20_window_frames" -> ((s, d) => {
+      // window-frame classes beyond row_number: running sum over a ROWS
+      // frame, lag, and ntile — all on one deterministic ordering
+      val byDate = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_rev"),
+          coalesce(lag("o_orderkey", 1).over(byDate), lit(-1L)).as("prev_order"),
+          ntile(4).over(byPrice).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     // ---- training-data ops over documents/embeddings ----
     "d01_dedup_exact" -> ((s, d) => {
       DedupOps.exact(t(s, d, "documents")).orderBy("keep_id")
@@ -208,6 +231,40 @@ object SparkEntry {
     }),
     "d05_simhash_pairs" -> ((s, d) => {
       DedupOps.simhashPairs(t(s, d, "documents"), maxHamming = 10).orderBy("id_a", "id_b")
+    }),
+    "d09_simhash_verify" -> ((s, d) => {
+      // d05's VERIFICATION math in isolation — bucketed candidate pairs over
+      // ANSI-expressible 64-bit signatures (deterministic multiply/xor of key
+      // columns, no engine hash), verified with the exact bit_count(xor)
+      // expression simhashPairs uses, so DuckDB can oracle the Hamming step;
+      // signature GENERATION (the JVM majority-vote kernel) stays
+      // engine-internal under d05's rows-only check
+      val o = t(s, d, "orders").orderBy("o_orderkey").limit(200)
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") * lit(2654435761L)).bitwiseXOR(col("o_custkey") * lit(2246822519L)).as("sig"),
+          (col("o_orderkey") % 16).as("bucket"))
+      val a = o.select(col("bucket"), col("k").as("id_a"), col("sig").as("sig_a"))
+      val b = o.select(col("bucket"), col("k").as("id_b"), col("sig").as("sig_b"))
+      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 24)
+        .orderBy("id_a", "id_b")
+    }),
+    "d10_train_split" -> ((s, d) => {
+      // deterministic corpus split: multiplicative-hash bucket of doc_id —
+      // map-only (no shuffle, no RNG), so a doc's split never changes as the
+      // corpus grows; the bucket arithmetic is ANSI and DuckDB-oracled
+      CurationOps.splitByKey(t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+    "d11_source_quota" -> ((s, d) => {
+      // per-source cap (≤50 docs per source, lowest doc_id first) — the
+      // standard "no more than N pages per domain" curation pass
+      CurationOps.perGroupQuota(t(s, d, "documents"), "source", "doc_id", quota = 50)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
     }),
     "e01_knn_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -504,6 +561,23 @@ object SparkEntry {
       """SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1""",
     "q18_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3""",
+    "q19_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS median_qty, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q20_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
+           coalesce(lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1) AS prev_order,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "d09_simhash_verify" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                    xor(o_orderkey * 2654435761, o_custkey * 2246822519) AS sig,
+                    o_orderkey % 16 AS bucket
+             FROM orders ORDER BY o_orderkey LIMIT 200)
+         SELECT a.k AS id_a, b.k AS id_b, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM o a JOIN o b USING (bucket)
+         WHERE a.k < b.k AND bit_count(xor(a.sig, b.sig)) <= 24
+         ORDER BY 1, 2""",
     "d01_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY text ORDER BY keep_id""",
     "d06_dedup_exact_hash" ->
@@ -532,6 +606,16 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sg, b.sg))::DOUBLE / greatest(len(list_distinct(a.sg || b.sg))::DOUBLE, 1.0), 6) AS jaccard
          FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY 1, 2""",
+    "d10_train_split" ->
+      """SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                             WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                             ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "d11_source_quota" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 50 ORDER BY 1, 2""",
     "e01_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 10),
          scored AS (

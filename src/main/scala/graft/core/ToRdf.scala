@@ -335,18 +335,56 @@ object ToRdf {
     else new java.math.BigDecimal(n).toBigInteger.toString
   }
 
-  /** Canonical JSON for rdf:JSON literals (JCS-style: sorted keys, minimal
-    * separators, canonical numbers).
+  /** RFC 8785 (JCS) number serialization = ECMAScript Number::toString
+    * (ECMA-262 §7.1.12.1). Differs from BOTH Java's Double.toString and the
+    * canonical xsd:double form: decimal notation through 10^21
+    * (1e16 → "10000000000000000"), exponent form "d.ddde±k" beyond
+    * (1e22 → "1e+22", never "1.0E22"), no trailing ".0". Digits must be the
+    * SHORTEST round-tripping decimal; Java 17's Double.toString is not
+    * shortest (pre-Ryū, JDK-4511638: 2.5e22 → "2.4999999999999998E22"), so
+    * the digits are found directly: the smallest precision p whose
+    * half-even rounding of the exact binary value reads back as the same
+    * double. 17 digits always suffice, so the loop terminates.
+    */
+  def jcsNumber(n: Double): String = {
+    if (n == 0.0) return "0" // ToString(-0) is "0" too
+    val neg = n < 0
+    val abs = math.abs(n)
+    val exact = new java.math.BigDecimal(abs)
+    var bd: java.math.BigDecimal = null
+    var p = 1
+    while (bd == null) {
+      val cand = exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      if (cand.doubleValue() == abs || p == 17) bd = cand else p += 1
+    }
+    val unscaled = bd.unscaledValue.toString
+    val digits = {
+      val t = unscaled.reverse.dropWhile(_ == '0').reverse
+      if (t.isEmpty) "0" else t
+    }
+    val k = digits.length
+    val nExp = unscaled.length - bd.scale // digit count before the decimal point
+    val sb = new StringBuilder(if (neg) "-" else "")
+    if (k <= nExp && nExp <= 21) { sb.append(digits); (k until nExp).foreach(_ => sb.append('0')) }
+    else if (0 < nExp && nExp <= 21) sb.append(digits.substring(0, nExp)).append('.').append(digits.substring(nExp))
+    else if (-6 < nExp && nExp <= 0) { sb.append("0."); (nExp until 0).foreach(_ => sb.append('0')); sb.append(digits) }
+    else {
+      sb.append(digits.charAt(0))
+      if (k > 1) sb.append('.').append(digits.substring(1))
+      sb.append('e').append(if (nExp - 1 >= 0) "+" else "-").append(math.abs(nExp - 1))
+    }
+    sb.toString
+  }
+
+  /** Canonical JSON for rdf:JSON literals (JCS / RFC 8785: sorted keys,
+    * minimal separators, ECMAScript numbers).
     */
   def canonicalJson(v: JsonValue): String = v match {
     case JNull => "null"
     case JBool(b) => if (b) "true" else "false"
     case JNum(n) =>
       if (n.isWhole && math.abs(n) < 9.007199254740992e15) n.toLong.toString
-      else {
-        val s = n.toString
-        if (s.endsWith(".0")) s.dropRight(2) else s
-      }
+      else jcsNumber(n)
     case JStr(s) => quoteJsonString(s)
     case a: JArr => a.iterator.map(canonicalJson).mkString("[", ",", "]")
     case o: JObj =>

@@ -408,4 +408,33 @@ class PropertySpec extends AnyFunSuite {
     assert(BnodeCanon.toCanonicalNQuads(g1) == BnodeCanon.toCanonicalNQuads(g2))
     assert(g1.toSet == g2.toSet)
   }
+
+  test("jcsNumber: ECMAScript Number::toString table (RFC 8785 §appendix; ECMA-262 §7.1.12.1)") {
+    // hand-derived from the ECMAScript algorithm; several are the published
+    // JCS test vectors. Java's Double.toString gets every exponential case
+    // wrong ("1.0E22"), which is why the formatter exists.
+    val table = Seq(
+      0.0 -> "0", -0.0 -> "0",
+      1.0 -> "1", -1.0 -> "-1",
+      0.5 -> "0.5", -0.5 -> "-0.5",
+      123.45 -> "123.45",
+      1e15 -> "1000000000000000",
+      1e16 -> "10000000000000000",          // beyond 2^53: still decimal notation
+      1e21 -> "1e+21",                       // first exponential magnitude
+      1e22 -> "1e+22",
+      2.5e22 -> "2.5e+22",
+      1e-6 -> "0.000001",                    // last decimal magnitude
+      1e-7 -> "1e-7",
+      1.5e-7 -> "1.5e-7",
+      0.002 -> "0.002",
+      0.30000000000000004 -> "0.30000000000000004", // 17-digit shortest repr
+      5e-324 -> "5e-324",                    // min subnormal (shortest repr, not Java's "4.9E-324")
+      1.7976931348623157e308 -> "1.7976931348623157e+308") // max double
+    for ((n, expected) <- table)
+      assert(ToRdf.jcsNumber(n) == expected, s"jcsNumber($n)")
+    // canonicalJson routes non-whole / huge numbers through jcsNumber
+    assert(ToRdf.canonicalJson(JNum(1e22)) == "1e+22")
+    assert(ToRdf.canonicalJson(JNum(1e16)) == "10000000000000000")
+    assert(ToRdf.canonicalJson(JNum(3.0)) == "3")
+  }
 }

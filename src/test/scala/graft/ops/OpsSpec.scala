@@ -283,4 +283,33 @@ class OpsSpec extends AnyFunSuite {
     val videos = media.filter(col("modality") === "video")
     if (videos.count() > 0) assert(MultimodalOps.sampleFrames(media).count() > 0)
   }
+
+  test("splitByKey: total partition, deterministic, stable under corpus growth") {
+    val small = spark.range(0, 1000).toDF("doc_id")
+    val s1 = CurationOps.splitByKey(small, "doc_id")
+    // every row gets exactly one split; fractions are in sane bands
+    val counts = s1.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900, s"train=${counts("train")}")
+    assert(counts("val") > 50 && counts("val") < 200)
+    // growth stability: the same doc_id keeps its split when the corpus doubles
+    val grown = CurationOps.splitByKey(spark.range(0, 2000).toDF("doc_id"), "doc_id")
+      .filter(col("doc_id") < 1000)
+    val a = s1.orderBy("doc_id").collect().map(_.getString(1))
+    val b = grown.orderBy("doc_id").collect().map(_.getString(1))
+    assert(a.sameElements(b))
+  }
+
+  test("perGroupQuota caps every group and keeps the lowest keys") {
+    val df = Seq.tabulate(60)(i => (if (i % 3 == 0) "big" else s"s${i % 7}", i.toLong))
+      .toDF("source", "doc_id")
+    val capped = CurationOps.perGroupQuota(df, "source", "doc_id", quota = 5)
+    val byGroup = capped.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup.values.forall(_ <= 5))
+    // "big" has 20 members 0,3,6,... → the 5 kept must be the lowest
+    val kept = capped.filter(col("source") === "big").orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(kept == Seq(0L, 3L, 6L, 9L, 12L))
+    // schema passthrough: no helper column leaks
+    assert(capped.columns.toSeq == Seq("source", "doc_id"))
+  }
 }
