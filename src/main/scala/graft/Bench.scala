@@ -40,6 +40,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // global wall-clock accounting: the driver kills the whole run at its
+    // own budget (~580 s), so every elastic block below checks mainElapsed
+    // and the phases log to stderr — a silent 10-minute run with no JSON
+    // line is strictly worse than a run with fewer scaling rounds.
+    val mainT0 = System.nanoTime()
+    def mainElapsed: Double = (System.nanoTime() - mainT0) / 1e9
+    def note(msg: String): Unit = System.err.println(f"[bench] t=$mainElapsed%.0fs $msg")
     val spark = session(cpus)
 
     val headline = Vector(
@@ -70,6 +77,7 @@ object Bench {
       // resurface confusingly inside the first timed query
       case scala.util.control.NonFatal(e) => System.err.println(s"[bench] warmup failed: $e")
     }
+    note("warmup done")
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>
         val t0 = System.nanoTime()
@@ -78,11 +86,13 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    note("headline done")
 
     // pipeline throughput at the benchmark parallelism
     val (tPipe, nTriples) = pipelineRun(spark, 40000, cpus)
     val triplesPerSec = nTriples / tPipe
     spark.stop()
+    note("pipeline done")
 
     val clusterProbeDocs = 1200000L
     // Scaling evidence (north_rule: N vs 4N executors via spark-submit).
@@ -223,16 +233,23 @@ object Bench {
     // window (measured 4 concurrent procs slower than 1 serial — 13x/proc,
     // not a bandwidth shape) and one bad leg poisons the engine ratio
     def eng2(n: Int): Double = { val a = engLeg(n); val b = engLeg(n); math.min(a, b) }
-    def oneRound(): (Double, Double, Double) =
-      (clusterRun(1), clusterRun(4), hwProbe())
+    def oneRound(): (Double, Double, Double) = {
+      val r = (clusterRun(1), clusterRun(4), hwProbe())
+      note(f"scaling round done n=${r._1}%.1fs 4n=${r._2}%.1fs hw=${r._3}%.2f")
+      r
+    }
     var rounds = Vector(oneRound())
     if (!rounds.head._1.isNaN && !rounds.head._2.isNaN) {
       // ≥3 rounds so a median exists and one degraded-host window can be
       // rejected (round 1's best-ratio selection reported efficiency 5.3 —
       // physically impossible — off one 46 s degraded N leg; never again).
       // Budget guard: on a degraded host each round can take minutes — stop
-      // adding rounds rather than risk the driver's wall-clock cap.
-      while (rounds.size < 3 && scalingElapsed < 420.0)
+      // adding rounds rather than risk the driver's wall-clock cap. The
+      // mainElapsed guard additionally charges the pre-scaling phases
+      // (warmup/headline/pipeline: ~60-100 s, more in a degraded window)
+      // against the same ~580 s driver budget — a missing third round only
+      // weakens the median; a missing JSON line voids the whole run.
+      while (rounds.size < 3 && scalingElapsed < 420.0 && mainElapsed < 440.0)
         rounds :+= oneRound()
     }
     // lower-middle for even counts: with 2 surviving rounds the ratio
@@ -277,10 +294,11 @@ object Bench {
       // can't beat 4× one JVM) and < ~0.15 means the 4-proc leg hit a
       // pathological window — both report as null rather than poison the
       // quotient. Skipped entirely if the rounds already ate the budget.
-      if (scalingElapsed < 450.0) {
+      if (scalingElapsed < 450.0 && mainElapsed < 460.0) {
         engN = eng2(1); eng4 = eng2(4)
         val r = (engN / eng4) / 4.0
         if (!r.isNaN && r > 0.15 && r <= 1.05) engCeiling = r
+        note(f"engine ceiling done n=$engN%.1fs 4n=$eng4%.1fs")
       }
     } else {
       // fallback: thread-level proxy in fresh in-process sessions
