@@ -238,7 +238,15 @@ object Bench {
       note(f"scaling round done n=${r._1}%.1fs 4n=${r._2}%.1fs hw=${r._3}%.2f")
       r
     }
+    var roundT0 = System.nanoTime()
     var rounds = Vector(oneRound())
+    // duration of the slowest round so far: the predictor for whether the
+    // NEXT round still fits the driver budget (a degraded window stretches
+    // one round from ~100 s to 300 s+ — starting another one then lands the
+    // kill signal mid-round and voids the run, which is exactly what
+    // happened once: round 1 finished at t=360 s, the between-rounds guard
+    // passed, and the 580 s external timeout arrived 80 s into round 2)
+    var worstRoundSecs = (System.nanoTime() - roundT0) / 1e9
     if (!rounds.head._1.isNaN && !rounds.head._2.isNaN) {
       // ≥3 rounds so a median exists and one degraded-host window can be
       // rejected (round 1's best-ratio selection reported efficiency 5.3 —
@@ -249,8 +257,15 @@ object Bench {
       // (warmup/headline/pipeline: ~60-100 s, more in a degraded window)
       // against the same ~580 s driver budget — a missing third round only
       // weakens the median; a missing JSON line voids the whole run.
-      while (rounds.size < 3 && scalingElapsed < 420.0 && mainElapsed < 440.0)
+      // predictive guard: only start a round if one more round of the worst
+      // observed duration (plus drift margin) still finishes inside the
+      // budget — the absolute caps alone green-light a round they cannot pay
+      while (rounds.size < 3 && scalingElapsed < 420.0 && mainElapsed < 440.0 &&
+             mainElapsed + worstRoundSecs * 1.25 < 470.0) {
+        roundT0 = System.nanoTime()
         rounds :+= oneRound()
+        worstRoundSecs = math.max(worstRoundSecs, (System.nanoTime() - roundT0) / 1e9)
+      }
     }
     // lower-middle for even counts: with 2 surviving rounds the ratio
     // "median" must not silently become the max. For the per-LEG medians the
@@ -294,7 +309,8 @@ object Bench {
       // can't beat 4× one JVM) and < ~0.15 means the 4-proc leg hit a
       // pathological window — both report as null rather than poison the
       // quotient. Skipped entirely if the rounds already ate the budget.
-      if (scalingElapsed < 450.0 && mainElapsed < 460.0) {
+      if (scalingElapsed < 450.0 && mainElapsed < 460.0 &&
+          mainElapsed + worstRoundSecs * 0.8 < 500.0) {
         engN = eng2(1); eng4 = eng2(4)
         val r = (engN / eng4) / 4.0
         if (!r.isNaN && r > 0.15 && r <= 1.05) engCeiling = r

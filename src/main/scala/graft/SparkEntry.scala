@@ -266,6 +266,29 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")
     }),
+    "d12_decontaminate" -> ((s, d) => {
+      // benchmark-leakage guard: docs sharing an 8-token shingle with the
+      // held-out "benchmark" slice (doc_id % 20 == 0 stands in for an eval
+      // set). Benchmark shingles broadcast; corpus side stays map-only.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      CurationOps.contaminatedIds(corpus, bench, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+    "d13_vocab_topk" -> ((s, d) => {
+      // corpus vocabulary head: partial-agg token counts + TakeOrdered top-k
+      CurationOps.vocabTopK(t(s, d, "documents"), "text", k = 50)
+    }),
+    "d14_normalize_text" -> ((s, d) => {
+      // canonical normalization (lower + whitespace collapse + trim) keyed
+      // for dedup: emit length + md5 so the oracle pins the exact bytes
+      val norm = TextOps.normalize(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        length(norm).cast("long").as("norm_len"),
+        md5(norm).as("norm_hash"))
+        .orderBy("doc_id")
+    }),
     "e01_knn_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.orderBy("vec_id").limit(10)
@@ -616,6 +639,27 @@ object SparkEntry {
            SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 50 ORDER BY 1, 2""",
+    "d12_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks))
+         SELECT DISTINCT doc_id FROM sh
+         WHERE doc_id % 20 <> 0
+           AND shingle IN (SELECT shingle FROM sh WHERE doc_id % 20 = 0)
+         ORDER BY doc_id""",
+    "d13_vocab_topk" ->
+      """SELECT tok, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS tok
+           FROM documents)
+         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""",
+    "d14_normalize_text" ->
+      """SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_hash FROM (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS norm
+           FROM documents)
+         ORDER BY doc_id""",
     "e01_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 10),
          scored AS (

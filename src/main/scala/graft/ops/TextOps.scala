@@ -46,6 +46,15 @@ object TextOps {
     round(lenScore * 0.4 + punctOk * 0.2 + stopOk * 0.2 + wordOk * 0.2, 6)
   }
 
+  /** Canonical text normalization for dedup keys and downstream tokenizers:
+    * lowercase + collapse runs of whitespace to one space + trim. The
+    * whitespace class is spelled explicitly ([ \t\n\r\f]) rather than \s —
+    * Java's \s includes \x0B (vertical tab) while RE2's does not, and the
+    * DuckDB oracle replays this regex verbatim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[ \\t\\n\\r\\f]+", " "))
+
   /** n-gram-heuristic language ID over small stopword lists; returns the
     * best-scoring language code or "und".
     */

@@ -312,4 +312,43 @@ class OpsSpec extends AnyFunSuite {
     // schema passthrough: no helper column leaks
     assert(capped.columns.toSeq == Seq("source", "doc_id"))
   }
+
+  test("wordShingles: n-token windows, short docs drop, tokenizer lowercases and strips punctuation") {
+    val df = Seq(
+      (1L, "Alpha beta GAMMA, delta!"),   // 4 tokens → 2 trigram shingles
+      (2L, "one two"),                    // < 3 tokens → no rows
+      (3L, "it's a test case")            // apostrophe survives tokenization
+    ).toDF("doc_id", "text")
+    val sh = CurationOps.wordShingles(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set(
+      (1L, "alpha beta gamma"), (1L, "beta gamma delta"),
+      (3L, "it's a test"), (3L, "a test case")))
+  }
+
+  test("contaminatedIds flags only corpus docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "the capital of france is paris and it is large")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we know the capital of france is paris and it stands on the seine"), // shares an 8-gram
+      (2L, "the capital of spain is madrid and it is large"),                    // similar words, no shared 8-gram
+      (3L, "short doc")                                                          // < 8 tokens
+    ).toDF("doc_id", "text")
+    val hit = CurationOps.contaminatedIds(corpus, bench, n = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(1L))
+  }
+
+  test("vocabTopK counts tokens with deterministic tie order") {
+    val df = Seq((1L, "b a a c b a"), (2L, "c d d b")).toDF("doc_id", "text")
+    val top = CurationOps.vocabTopK(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a=3, b=3, c=2, d=2 → count desc then token asc
+    assert(top == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("normalize lowercases, collapses whitespace runs, and trims") {
+    val out = Seq((1L, "  Mixed\tCASE\n\n  text \r\n here ")).toDF("doc_id", "text")
+      .select(TextOps.normalize(col("text")).as("n")).collect()(0).getString(0)
+    assert(out == "mixed case text here")
+  }
 }
