@@ -34,6 +34,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q08_semi_join").contains("LeftSemi"))
   }
 
+  test("d12 decontamination is a broadcast semi-join: the corpus side never shuffles into the join") {
+    val p = plan("d12_decontaminate")
+    // benchmark shingles broadcast; corpus shingles stream map-side into a
+    // BroadcastHashJoin LeftSemi — a shuffled (SortMerge) semi-join here
+    // would move every corpus shingle at 100 TB
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "corpus shingles shuffled into a sort-merge join:\n" + p.take(3000))
+  }
+
   test("q01 aggregation is whole-stage codegen'd with partial aggregation") {
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
     df.collect()
