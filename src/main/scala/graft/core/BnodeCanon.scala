@@ -198,8 +198,35 @@ object BnodeCanon {
   def parseNQuads(text: String): Vector[Triple] = {
     val TripleRe =
       """^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>|_:\S+)\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?)\s*(<[^>]*>|_:\S+)?\s*\.\s*$""".r
-    def unescape(s: String): String =
-      s.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r").replace("\\\"", "\"").replace("\\\\", "\\")
+    // single pass, left to right — sequential String.replace mis-parses
+    // mixed sequences ("\\n" = escaped backslash + 'n' became backslash +
+    // newline, caught by toRdf/r0049's JCS fixture)
+    def unescape(s: String): String = {
+      if (s.indexOf('\\') < 0) return s
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          i += 1
+          s.charAt(i) match {
+            case 't' => sb.append('\t')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case '"' => sb.append('"')
+            case '\'' => sb.append('\'')
+            case '\\' => sb.append('\\')
+            case 'u' => sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+            case 'U' => sb.appendCodePoint(Integer.parseInt(s.substring(i + 1, i + 9), 16)); i += 8
+            case other => sb.append('\\').append(other)
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
     text.linesIterator.filter(l => l.trim.nonEmpty && !l.trim.startsWith("#")).map { line =>
       line match {
         case TripleRe(s, p0, o, g) =>

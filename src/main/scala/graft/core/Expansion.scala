@@ -436,6 +436,13 @@ object Expansion {
     expandedIndex match {
       case Some(ei) if ei != "@none" =>
         if (propertyIndex) {
+          // spec 13.8.3.7.2: a property-based index cannot be attached to a
+          // value object (adding a property IRI key to it would make it an
+          // object that is both value and node). Deliberate deviation from
+          // the reference (expand.rs:577-585 omits the check and silently
+          // emits the malformed object) — same policy as the compact.rs:718
+          // deviation: follow the spec, document the difference.
+          if (indexValue.contains("@value")) throw JsonLdError(InvalidValueObject)
           val reexpandedIndex = expandValue(mapContext, mapContext.termDefinitions.get(indexKey), JStr(index))
           expandIri(mapContext, indexKey, documentRelative = false, vocab = true).foreach { expandedIndexKey =>
             val array = JArr(reexpandedIndex)

@@ -202,15 +202,19 @@ object FromRdf {
     result
   }
 
+  /** INF/-INF/NaN are VALID xsd:double lexicals but have no JSON-number
+    * representation — converting them produced an infinite JNum that no
+    * JSON writer can serialize (a job-killer on hostile-but-valid RDF at
+    * corpus scale). Like the JS/Ruby processors, such literals stay typed
+    * strings; every finite valid lexical converts (rf0034 pins both sides).
+    */
   private def parseNumeric(lexical: String, dt: String): Option[Double] = {
     val valid =
       if (dt == XsdInteger) lexical.matches("[+-]?[0-9]+")
-      else lexical.matches("""[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?INF|NaN""")
+      else lexical.matches("""[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""")
     if (!valid) None
     else
-      try Some(if (lexical == "INF" || lexical == "+INF") Double.PositiveInfinity
-        else if (lexical == "-INF") Double.NegativeInfinity
-        else lexical.toDouble)
+      try Some(lexical.toDouble).filter(d => !d.isInfinite && !d.isNaN)
       catch { case _: NumberFormatException => None }
   }
 }
