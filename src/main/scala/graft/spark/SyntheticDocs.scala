@@ -124,6 +124,44 @@ object SyntheticDocs {
     Doc(docId(idx), spans)
   }
 
+  /** Deep-bnode-chain corpus (j11 / refinement evidence): every jsonld span
+    * is a top-level ARRAY of two free-floating bnode chains
+    *
+    *   _:r —p→ _:m1 —p→ _:m2 —p→ "L{a|b}<doc>_<span>"
+    *
+    * whose leaves differ but whose upper nodes are structurally identical.
+    * Under WL refinement ([[Canonicalize.globalWithRounds]]) only the m2
+    * nodes separate at round 0 (their first-degree signature contains the
+    * distinct leaf literal); every m1 sees `{o|p|_, s|p|_}` and every root
+    * `{s|p|_}`, so the m1s separate at round 1 (via m2's round-0 hash) and
+    * the roots only at round 2 (via m1's round-1 hash) — two genuine
+    * neighbor-hash rounds before full separation. This is the corpus-scale
+    * exercise of the refinement loop that the default generator (doc-local,
+    * first-degree-separable bnodes) never triggers.
+    *
+    * A separate MODE, not a new default template: the default corpus's
+    * triple counts are pinned across rounds (EngineProbe 6,789,451 @ 500k
+    * docs; bench pipeline 541,603 @ 40k) and must not move.
+    */
+  def generateDeepBnodes(spark: SparkSession, nDocs: Long, partitions: Int = 32): Dataset[Doc] = {
+    import spark.implicits._
+    spark.range(0, nDocs, 1, partitions).map(idx => deepBnodeDoc(idx))
+  }
+
+  def deepBnodeDoc(idx: Long): Doc = {
+    val r = new Rng(mix(Seed ^ (idx + 0x5eedL)))
+    val nSpans = 1 + r.nextInt(3)
+    var offset = 0
+    val spans = (0 until nSpans).map { s =>
+      offset += 1 + r.nextInt(500)
+      val frag =
+        s"""[{"@context":{"@vocab":"http://graft.example/vocab/"},"p":{"p":{"p":"La${idx}_$s"}}},""" +
+          s"""{"@context":{"@vocab":"http://graft.example/vocab/"},"p":{"p":{"p":"Lb${idx}_$s"}}}]"""
+      Span("jsonld", frag, null, offset)
+    }
+    Doc(docId(idx), spans)
+  }
+
   /** ≡ f"doc-$idx%012d" without the per-doc Formatter (a measured JFR site). */
   private def docId(idx: Long): String = {
     val sb = new java.lang.StringBuilder(16)

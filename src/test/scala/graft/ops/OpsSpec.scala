@@ -256,6 +256,35 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf >= 0.45, f"IVF recall collapsed: $ivf%.3f")
   }
 
+  test("materialized IVF index: probe equals the direct ivfTopK formulation exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.orderBy("vec_id").limit(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    val cents = SimilarityOps.ivfBuildIndex(emb, "vec_id", "embedding", dir, nCells = 16)
+    val indexed = SimilarityOps.ivfProbeIndex(spark.read.parquet(dir), cents, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val direct = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(indexed.nonEmpty && indexed == direct,
+      s"indexed probe diverged from direct IVF (${indexed.size} vs ${direct.size} rows)")
+    // training determinism: rebuilding from the same corpus gives identical centroids
+    val again = SimilarityOps.ivfTrain(emb, "vec_id", "embedding", nCells = 16)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("wordShingles runs without an optimizer barrier (no checkpointed RDD scan in the plan)") {
+    // the round-3 ADVICE finding: the corpus-side localCheckpoint barrier
+    // materialized the tokenized corpus into non-replicated executor block
+    // storage (any executor loss = job loss). The single-pass shingler needs
+    // no barrier — the plan must read the source directly.
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = CurationOps.wordShingles(df, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Checkpoint"),
+      "barrier materialization back in the shingle plan:\n" + plan.take(2000))
+  }
+
   test("multimodal resize preserves aspect ratio, caps the long edge, never upscales") {
     val refs = spark.createDataset(Seq("media://b/1", "media://b/2", "media://b/3", "media://b/4"))(
       org.apache.spark.sql.Encoders.STRING)
@@ -298,6 +327,55 @@ class OpsSpec extends AnyFunSuite {
     val a = s1.orderBy("doc_id").collect().map(_.getString(1))
     val b = grown.orderBy("doc_id").collect().map(_.getString(1))
     assert(a.sameElements(b))
+  }
+
+  test("splitByKey buckets spread for structured key families (stride, low-digit, snowflake) and never overflow") {
+    // the round-3 ADVICE finding: (key*A)%100 depends only on the key's last
+    // two decimal digits — stride-100 ids all landed in ONE bucket — and
+    // key*A overflowed Long above ~3.47e9. The chunked mix must spread all
+    // of these families AND stay total on the full Long range.
+    val families: Seq[(String, Seq[Long])] = Seq(
+      "sequential" -> (0L until 2000L),
+      "stride100" -> (0L until 2000L).map(_ * 100L), // old hash: every key → one bucket
+      "stride1000" -> (0L until 2000L).map(_ * 1000L),
+      "lowdigits37" -> (0L until 2000L).map(_ * 100L + 37L), // constant last two digits
+      "snowflake" -> (0L until 2000L).map(i => ((1700000000000L + i * 17L) << 22) | (3L << 12) | (i % 4096L)),
+      "hugekeys" -> (0L until 2000L).map(i => Long.MaxValue - i * 1000003L) // old hash: ARITHMETIC_OVERFLOW
+    )
+    families.foreach { case (name, keys) =>
+      val out = CurationOps.splitByKey(keys.toDF("doc_id"), "doc_id")
+        .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.values.sum == 2000, s"$name: rows lost")
+      val train = out.getOrElse("train", 0L)
+      val v = out.getOrElse("val", 0L)
+      assert(train > 1400 && train < 1800, s"$name: train=$train far from 80% of 2000")
+      assert(v > 80 && v < 320, s"$name: val=$v far from 10% of 2000")
+      assert(out.getOrElse("test", 0L) > 80, s"$name: test bucket starved")
+    }
+  }
+
+  test("splitByKey and perGroupQuota refuse inputs that already carry their output/helper columns") {
+    val clash1 = Seq((1L, "x")).toDF("doc_id", "split")
+    intercept[IllegalArgumentException] { CurationOps.splitByKey(clash1, "doc_id") }
+    val clash2 = Seq((1L, "s", 2L)).toDF("doc_id", "source", "__rn")
+    intercept[IllegalArgumentException] { CurationOps.perGroupQuota(clash2, "source", "doc_id", 5) }
+  }
+
+  test("perGroupQuota partition-local pre-filter is exact on a pathologically hot group") {
+    // one group = 60% of the corpus, spread across many partitions — the
+    // shape whose window sort serializes in one task at 100 TB. The
+    // pre-filtered result must equal the plain single-window formulation.
+    val rows = (0 until 3000).map { i =>
+      val g = if (i % 5 < 3) "hot.example" else s"site${i % 97}.example"
+      (g, i.toLong * 7 % 10007) // orderCol unique per group (injective mod prime)
+    }
+    val df = rows.toDF("source", "doc_id").repartition(8)
+    val got = CurationOps.perGroupQuota(df, "source", "doc_id", quota = 17)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy(col("doc_id"))
+    val plain = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 17).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == plain, s"pre-filtered != plain window (got ${got.size}, plain ${plain.size})")
   }
 
   test("perGroupQuota caps every group and keeps the lowest keys") {

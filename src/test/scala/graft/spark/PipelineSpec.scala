@@ -138,6 +138,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(local.filter(_.objKind == "bnode").map(_.objValue).toSet.size == 2)
   }
 
+  test("deep-bnode corpus forces WL refinement to iterate (2 rounds) and stays bijective") {
+    import spark.implicits._
+    val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
+    val docs = SyntheticDocs.generateDeepBnodes(spark, 30, 4)
+    val triples = ExpandStage.triples(ExpandStage.run(docs, ctxB)).cache()
+    val inRows = triples.collect().toVector
+    assert(inRows.nonEmpty)
+    val (canonDf, rounds) = Canonicalize.globalWithRounds(triples, rounds = 3, scoped = true)
+    // the chains collide on first-degree AND first-neighbor signatures:
+    // exactly two neighbor-hash rounds must run before full separation
+    assert(rounds == 2, s"expected 2 WL refinement rounds on the deep corpus, got $rounds")
+    val out = canonDf.as[TripleRow].collect().toVector
+    assert(out.size == inRows.size)
+    // bijective per doc: same number of distinct bnode labels before and after
+    def bnodeCount(rows: Vector[TripleRow]) = rows.groupBy(_.doc_id).view.mapValues { ts =>
+      ts.flatMap(t => Seq(t.subj, if (t.obj_kind == "bnode") t.obj_value else null))
+        .filter(s => s != null && s.startsWith("_:")).toSet.size
+    }.toMap
+    assert(bnodeCount(out) == bnodeCount(inRows))
+    // determinism across runs
+    val out2 = Canonicalize.globalWithRounds(triples, rounds = 3, scoped = true)._1
+      .as[TripleRow].collect().toVector
+    assert(out.sortBy(_.toString) == out2.sortBy(_.toString))
+    // context: how many rounds the DEFAULT corpus needs (informational — the
+    // deep corpus above is the pinned refinement exercise)
+    val flat = ExpandStage.triples(ExpandStage.run(SyntheticDocs.generate(spark, 50, 4), ctxB))
+    info(s"default-corpus refinement rounds: ${Canonicalize.globalWithRounds(flat, rounds = 3, scoped = true)._2}")
+    triples.unpersist()
+  }
+
   test("span-sequence invariant: pipeline output preserves (kind,text,media_ref,order) per doc") {
     import spark.implicits._
     val docs = SyntheticDocs.generate(spark, 100, 4).cache()

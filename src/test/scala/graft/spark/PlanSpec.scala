@@ -77,6 +77,40 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted.contains("codegen id"), formatted.take(3000))
   }
 
+  test("IVF index probe is a partition-pruned scan: only probed cells' partitions are read") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.orderBy("vec_id").limit(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
+    val cents = graft.ops.SimilarityOps.ivfBuildIndex(emb, "vec_id", "embedding", dir, nCells = 16)
+    val probe = graft.ops.SimilarityOps.ivfProbeIndex(spark.read.parquet(dir), cents, queries,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    probe.collect()
+    // collect() only descends via children, and AQE wraps stage plans in
+    // fields (AdaptiveSparkPlanExec.executedPlan, QueryStageExec.plan) that
+    // are NOT children — recurse through them explicitly
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val indexScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(indexScans.nonEmpty, "no partitioned index scan in the probe plan:\n" +
+      probe.queryExecution.executedPlan.toString.take(3000))
+    indexScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "probe scan has no partition filter — it reads every cell:\n" + s.toString.take(2000))
+      // the driver metric counts partition dirs actually read: must be a
+      // strict subset of the 16 cells (≤ 4 queries × 2 probes)
+      s.metrics.get("numPartitions").foreach { m =>
+        assert(m.value <= 8 && m.value < 16, s"probe read ${m.value} of 16 cell partitions")
+      }
+    }
+  }
+
   test("expansion stage has no shuffle (partition-local by design)") {
     val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
     val docs = SyntheticDocs.generate(spark, 100, 4)
