@@ -49,56 +49,11 @@ object Bench {
     def note(msg: String): Unit = System.err.println(f"[bench] t=$mainElapsed%.0fs $msg")
     val spark = session(cpus)
 
-    val headline = Vector(
-      "q01_agg_pricing", "q03_join_broadcast_topn", "q04_join_multi", "q05_window_first_order",
-      "q12_rollup", "d01_dedup_exact", "d03_text_features", "d04_minhash_lsh", "d05_simhash_pairs",
-      "e01_knn_bruteforce", "e02_ann_lsh", "e04_ann_ivf", "j01_expand_triples", "j02_graph_pipeline")
-    val all = SparkEntry.queries
-    // untimed warmup: session/codegen/parquet-footer setup otherwise lands
-    // entirely on the first measured query (q01 read ~3 s of one-time cost)
-    try {
-      spark.range(1000).selectExpr("sum(id)").count()
-      all.get("q01_agg_pricing").foreach(fn => fn(spark, sfDir).count())
-      // tiny-sample kernel warmup: UDF classload + codegen for the minhash /
-      // simhash / vector expressions otherwise lands entirely on the FIRST
-      // measured d*/e* query (d04 read ~1 s of one-time cost in driver runs
-      // vs its 1.4-1.7 s steady-state warm timing). 64-row samples keep the
-      // warmup in the low seconds while touching every kernel class.
-      val docsSample = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
-      graft.ops.DedupOps.minhashLsh(docsSample).count()
-      graft.ops.DedupOps.simhashPairs(docsSample).count()
-      // orderBy before limit: lshTopK re-scans its input to join vectors
-      // back by id, so the sample must be deterministic under recomputation
-      // (a bare limit is not)
-      val embSample = spark.read.parquet(s"$sfDir/embeddings.parquet").orderBy("vec_id").limit(64)
-      graft.ops.SimilarityOps.lshTopK(embSample, embSample.limit(4), "vec_id", "embedding", k = 2).count()
-    } catch {
-      // NonFatal only: an OOM/linkage error here must surface now, not
-      // resurface confusingly inside the first timed query
-      case scala.util.control.NonFatal(e) => System.err.println(s"[bench] warmup failed: $e")
-    }
-    note("warmup done")
-    val headlineSteal0 = StealMeter.snap()
-    val results = headline.flatMap { name =>
-      all.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
-    // hypervisor-steal share during the headline window: the context that
-    // separates "the engine got slower" from "the host was taken" when
-    // comparing headline totals across rounds
-    val headlineSteal = StealMeter.share(headlineSteal0, StealMeter.snap())
-    note(f"headline done (steal=$headlineSteal%.3f)")
-
-    // pipeline throughput at the benchmark parallelism
-    val (tPipe, nTriples) = pipelineRun(spark, 40000, cpus)
-    val triplesPerSec = nTriples / tPipe
-    spark.stop()
-    note("pipeline done")
-
+    // ---- SCALING PHASE FIRST (north-rule gate): the serve probes get the
+    // freshest budget and are torn down before the warmup/headline section,
+    // so headline numbers see zero probe interference. Selection and the
+    // context-only engine-ceiling legs run after the headline (pure
+    // computation / guarded forks).
     val clusterProbeDocs = 1200000L
     // Scaling evidence (north_rule: N vs 4N executors via spark-submit).
     // local-cluster gives real separate executor JVMs: 1×8-core executor vs
@@ -113,20 +68,24 @@ object Bench {
     // could own every round. With reps-on-demand a round costs one rep per
     // leg (~10-25 s), so Bench samples many windows and keeps the best
     // steal-clean, ratio-coherent ones.
-    final case class ClusterProbeProc(proc: Process, out: java.io.BufferedReader, executors: Int)
+    final case class ClusterProbeProc(proc: Process, out: java.io.BufferedReader, executors: Int,
+        ready: java.util.concurrent.atomic.AtomicBoolean)
     val RepRe = """.*\[cluster-probe\] rep=\d+ .* sec=([0-9.]+) .*steal=([0-9.]+|NaN) execs=(\d+).*""".r
     def startProbe(executors: Int): Option[ClusterProbeProc] = {
       val jar = new java.io.File("target/scala-2.13/jsonldrsspark_2.13-0.1.0.jar")
       if (!jar.exists()) return None
       val cmd = Seq("/opt/spark/bin/spark-submit",
-        // 4g heaps: the probe streams generated docs (nothing cached); 5g
-        // bought no headroom and pretouching 4×5g dominated 4N startup.
-        // 192 partitions = 6 exact waves on 32 cores (finer granularity
-        // smooths per-partition variance into a shorter straggler tail).
-        "--master", s"local-cluster[$executors,8,4608]",
-        "--conf", "spark.executor.memory=4g",
-        "--conf", "spark.executor.extraJavaOptions=-Xms4g -XX:+AlwaysPreTouch",
-        "--conf", "spark.driver.memory=4g",
+        // 3g heaps: the probe streams generated docs (nothing cached) and a
+        // rep's working set is small; the binding constraint is PRETOUCH
+        // TIME at startup — 5 concurrent JVMs page-faulting their heaps in
+        // (measured: a fragmented-memory window stretched 4g-per-JVM
+        // pretouch past a 300 s watchdog). 192 partitions = 6 exact waves
+        // on 32 cores (finer granularity smooths per-partition variance
+        // into a shorter straggler tail).
+        "--master", s"local-cluster[$executors,8,3584]",
+        "--conf", "spark.executor.memory=3g",
+        "--conf", "spark.executor.extraJavaOptions=-Xms3g -XX:+AlwaysPreTouch",
+        "--conf", "spark.driver.memory=2g",
         "--conf", "spark.sql.shuffle.partitions=64",
         "--conf", "spark.ui.enabled=false",
         // tasks are location-agnostic (generated input): never hold a core
@@ -138,25 +97,42 @@ object Bench {
       pb.redirectErrorStream(true)
       try {
         val p = pb.start()
-        // startup watchdog: a degraded window can stretch even the small
-        // serve-mode warm indefinitely; a probe that is not ready in 180 s
-        // is killed so the run degrades to fewer probes instead of hanging
-        // past the driver budget with zero output
+        // startup watchdog from SPAWN time: a degraded window can stretch
+        // even the minimal serve-mode warm (measured ready times: ~100-150 s
+        // parallel in a calm window, 250 s+ degraded); a probe that is not
+        // ready in 300 s is killed so the run degrades to fewer probes
+        // instead of hanging past the driver budget with zero output
         val ready = new java.util.concurrent.atomic.AtomicBoolean(false)
         val killer = new Thread(() => {
-          val deadline = System.nanoTime() + 180L * 1000000000L
+          val deadline = System.nanoTime() + 300L * 1000000000L
           while (!ready.get() && System.nanoTime() < deadline) Thread.sleep(500)
           if (!ready.get()) p.destroyForcibly()
         })
         killer.setDaemon(true)
         killer.start()
-        val br = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
-        var line = br.readLine()
-        while (line != null && !line.contains("[cluster-probe] ready")) line = br.readLine()
-        ready.set(true)
-        if (line == null) { p.destroyForcibly(); None }
-        else Some(ClusterProbeProc(p, br, executors))
+        Some(ClusterProbeProc(p, null, executors, ready))
       } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    // block until the probe's ready line (watchdog kills → readLine null);
+    // everything read is teed to target/cluster_probe_<n>.log so a killed or
+    // misbehaving probe leaves a post-mortem trail
+    def awaitReady(h: Option[ClusterProbeProc]): Option[ClusterProbeProc] = h.flatMap { pr =>
+      val tee = try new java.io.PrintWriter(
+        new java.io.FileWriter(s"target/cluster_probe_${pr.executors}.log", false), true)
+      catch { case scala.util.control.NonFatal(_) => null }
+      try {
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(pr.proc.getInputStream))
+        var line = br.readLine()
+        while (line != null && !line.contains("[cluster-probe] ready")) {
+          if (tee != null) tee.println(line)
+          line = br.readLine()
+        }
+        if (tee != null && line != null) tee.println(line)
+        pr.ready.set(true)
+        if (line == null) { pr.proc.destroyForcibly(); None }
+        else Some(pr.copy(out = br))
+      } catch { case scala.util.control.NonFatal(_) => pr.proc.destroyForcibly(); None }
+      finally if (tee != null) tee.close()
     }
     // one timed rep; NaN when the probe died or ran with a short cluster
     // (fewer registered executors than requested — not a valid leg)
@@ -224,9 +200,9 @@ object Bench {
     // worse 8→32 busy cores than cache-resident compute; this ratio is
     // the best any 4-executor run of this workload can do on this box.
     // Spark-layer scaling efficiency = cluster ratio / this ceiling.
-    def engineCeiling(): Int => Double = {
+    def engineCeiling(): (Int, Double) => Double = {
       val jar = new java.io.File("target/scala-2.13/jsonldrsspark_2.13-0.1.0.jar")
-      if (!jar.exists()) return (_: Int) => Double.NaN
+      if (!jar.exists()) return (_: Int, _: Double) => Double.NaN
       val cp = jar.getPath + ":/opt/spark/jars/*"
       def fork(start: Long, end: Long): Process =
         new ProcessBuilder("java", "-Xms5g", "-Xmx5g", "-XX:+AlwaysPreTouch", "-cp", cp,
@@ -234,9 +210,19 @@ object Bench {
           .redirectErrorStream(true).start()
       val total = 600000L
       val SecRe = """.*\[engine-probe\].* sec=([0-9.]+).*""".r
-      def leg(procs: Int): Double = {
+      def leg(procs: Int, killAfterSec: Double): Double = {
         val chunk = total / procs
         val ps = (0 until procs).map(i => fork(i * chunk, (i + 1) * chunk))
+        // hard bound from FORK time: engine legs are context-only and must
+        // never push the run past the driver's kill deadline (a degraded
+        // window stretched the leg pair to 300 s and a full v8 run to 652 s
+        // — past the ~580 s budget, which would have voided the JSON)
+        val killer = new Thread(() => {
+          Thread.sleep(math.max(killAfterSec, 1.0).toLong * 1000L)
+          ps.foreach(p => if (p.isAlive) p.destroyForcibly())
+        })
+        killer.setDaemon(true)
+        killer.start()
         val readers = ps.map { p =>
           val br = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
           var line = br.readLine()
@@ -258,9 +244,7 @@ object Bench {
         }
         secs.max // leg wall time = slowest process
       }
-      leg // expose the single-leg runner; legs are interleaved with the
-          // cluster submissions below so numerator and denominator of the
-          // spark-layer ratio sample the same host-drift windows
+      leg // expose the single-leg runner (procs, killAfterSec)
     }
 
     var mode = "local-cluster-executors"
@@ -276,10 +260,9 @@ object Bench {
     // and 2 rounds defeat the median that the whole design rests on.
     val scalingT0 = System.nanoTime()
     def scalingElapsed: Double = (System.nanoTime() - scalingT0) / 1e9
-    // engine legs best-of-2: a single fork set can land in a pathological
-    // window (measured 4 concurrent procs slower than 1 serial — 13x/proc,
-    // not a bandwidth shape) and one bad leg poisons the engine ratio
-    def eng2(n: Int): Double = { val a = engLeg(n); val b = engLeg(n); math.min(a, b) }
+    // engine legs run ONCE each (context-only metric): best-of-2 doubled the
+    // fork+preTouch cost and in a degraded window pushed the run past the
+    // driver budget; the plausibility band on the ratio nulls garbage legs
     // A leg is only trustworthy if the hypervisor left us the CPU during it:
     // this VM sees ~10% steal under full load even in calm windows and
     // 50%+ in bursts (the bursts are what slowed round-3/4 4N legs 2.5×
@@ -308,10 +291,21 @@ object Bench {
     // probes start sequentially (each warmup gets the whole box); the 4N
     // probe only if the N probe came up. While one leg runs a rep the other
     // app idles (registered executors cost ~nothing between reps).
-    // probe startup charged against the same budget: skip legs that cannot
-    // pay for themselves AND still leave room to emit the JSON line
-    val probeN = if (mainElapsed < 300.0) startProbe(1) else None
-    val probe4 = if (probeN.isDefined && mainElapsed < 400.0) startProbe(4) else None
+    // probes spawn IN PARALLEL (their startup is JVM boot + preTouch + a
+    // minimal warm — overlapping them halves the serial cost in degraded
+    // windows); startup is charged against the same budget: skip legs that
+    // cannot pay for themselves AND still leave room to emit the JSON line
+    val handleN = if (mainElapsed < 320.0) startProbe(1) else None
+    val handle4 = if (handleN.isDefined) startProbe(4) else None
+    // await both CONCURRENTLY: a blocked await on one probe would let the
+    // other's merged log output fill its 64 KB pipe and stall that JVM
+    var probeN: Option[ClusterProbeProc] = None
+    var probe4: Option[ClusterProbeProc] = None
+    locally {
+      val tN = new Thread(() => probeN = awaitReady(handleN))
+      val t4 = new Thread(() => probe4 = awaitReady(handle4))
+      tN.start(); t4.start(); tN.join(); t4.join()
+    }
     note(f"serve probes up n=${probeN.isDefined} 4n=${probe4.isDefined} t=$mainElapsed%.0fs")
     var rounds = Vector.empty[ScalingRound]
     var worstRoundSecs = 0.0
@@ -336,14 +330,68 @@ object Bench {
           note(f"scaling round done n=${r.t1}%.1fs (steal=${r.s1}%.2f) 4n=${r.t4}%.1fs (steal=${r.s4}%.2f) hw=${r.hw}%.2f clean=${r.clean}")
           rounds :+= r
           worstRoundSecs = math.max(worstRoundSecs, (System.nanoTime() - roundT0) / 1e9)
+          // scaling runs FIRST: its phase cap must leave the warmup/headline/
+          // pipeline/JSON section intact (measured 50-135 s incl. degraded
+          // windows). Rounds are cheap (one rep per leg + hw probe, 12-45 s)
+          // so even a 300 s probe startup leaves room for 3-5 of them.
           continue = r.valid && rounds.count(_.clean) < 3 && rounds.size < 8 &&
-            scalingElapsed < 420.0 && mainElapsed < 440.0 &&
-            mainElapsed + worstRoundSecs * 1.25 < 470.0
+            mainElapsed < 395.0 && mainElapsed + worstRoundSecs * 1.25 < 430.0
         }
       case _ =>
     }
     stopProbe(probeN)
     stopProbe(probe4)
+
+    val headline = Vector(
+      "q01_agg_pricing", "q03_join_broadcast_topn", "q04_join_multi", "q05_window_first_order",
+      "q12_rollup", "d01_dedup_exact", "d03_text_features", "d04_minhash_lsh", "d05_simhash_pairs",
+      "e01_knn_bruteforce", "e02_ann_lsh", "e04_ann_ivf", "j01_expand_triples", "j02_graph_pipeline")
+    val all = SparkEntry.queries
+    // untimed warmup: session/codegen/parquet-footer setup otherwise lands
+    // entirely on the first measured query (q01 read ~3 s of one-time cost)
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      all.get("q01_agg_pricing").foreach(fn => fn(spark, sfDir).count())
+      // tiny-sample kernel warmup: UDF classload + codegen for the minhash /
+      // simhash / vector expressions otherwise lands entirely on the FIRST
+      // measured d*/e* query (d04 read ~1 s of one-time cost in driver runs
+      // vs its 1.4-1.7 s steady-state warm timing). 64-row samples keep the
+      // warmup in the low seconds while touching every kernel class.
+      val docsSample = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      graft.ops.DedupOps.minhashLsh(docsSample).count()
+      graft.ops.DedupOps.simhashPairs(docsSample).count()
+      // orderBy before limit: lshTopK re-scans its input to join vectors
+      // back by id, so the sample must be deterministic under recomputation
+      // (a bare limit is not)
+      val embSample = spark.read.parquet(s"$sfDir/embeddings.parquet").orderBy("vec_id").limit(64)
+      graft.ops.SimilarityOps.lshTopK(embSample, embSample.limit(4), "vec_id", "embedding", k = 2).count()
+    } catch {
+      // NonFatal only: an OOM/linkage error here must surface now, not
+      // resurface confusingly inside the first timed query
+      case scala.util.control.NonFatal(e) => System.err.println(s"[bench] warmup failed: $e")
+    }
+    note("warmup done")
+    val headlineSteal0 = StealMeter.snap()
+    val results = headline.flatMap { name =>
+      all.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    // hypervisor-steal share during the headline window: the context that
+    // separates "the engine got slower" from "the host was taken" when
+    // comparing headline totals across rounds
+    val headlineSteal = StealMeter.share(headlineSteal0, StealMeter.snap())
+    note(f"headline done (steal=$headlineSteal%.3f)")
+
+    // pipeline throughput at the benchmark parallelism
+    val (tPipe, nTriples) = pipelineRun(spark, 40000, cpus)
+    val triplesPerSec = nTriples / tPipe
+    spark.stop()
+    note("pipeline done")
+
     // lower-middle for even counts: with 2 surviving rounds the ratio
     // "median" must not silently become the max. For the per-LEG medians the
     // lower-middle is also the principled reference point on a shared box:
@@ -390,9 +438,9 @@ object Bench {
       // can't beat 4× one JVM) and < ~0.15 means the 4-proc leg hit a
       // pathological window — both report as null rather than poison the
       // quotient. Skipped entirely if the rounds already ate the budget.
-      if (scalingElapsed < 450.0 && mainElapsed < 460.0 &&
-          mainElapsed + worstRoundSecs * 0.8 < 500.0) {
-        engN = eng2(1); eng4 = eng2(4)
+      if (mainElapsed < 400.0) {
+        engN = engLeg(1, 540.0 - mainElapsed)
+        if (mainElapsed < 480.0) eng4 = engLeg(4, 550.0 - mainElapsed)
         val r = (engN / eng4) / 4.0
         if (!r.isNaN && r > 0.15 && r <= 1.05) engCeiling = r
         note(f"engine ceiling done n=$engN%.1fs 4n=$eng4%.1fs")

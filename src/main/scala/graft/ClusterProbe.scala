@@ -39,12 +39,14 @@ object ClusterProbe {
     // 4N leg: its reps kept speeding up 5.6→4.9→4.5 s). 25k docs/core: with
     // reps=1 the timed run no longer rides a previous rep's warmup, so the
     // pre-timed warm must carry the full C2 ramp on its own
-    // serve mode warms small and fast: the ready line must come up quickly
-    // even in a degraded window (measured: the 25k/core warm took 5+ min in
-    // one), and the early serve reps finish the C2 ramp — Bench's clean-
-    // round selection discards the slow first rounds anyway. One-shot mode
-    // keeps the full warm: its FIRST timed rep has nothing else to ride on.
-    val warm = (if (serve) 10000L else 25000L) * spark.sparkContext.defaultParallelism
+    // serve mode barely warms: the ready line must come up fast even in a
+    // degraded window (measured: the 25k/core warm took 5+ min in one, and
+    // even 10k/core blew a 180 s startup watchdog), so it only touches the
+    // codegen/broadcast paths and lets the FIRST SERVE REPS carry the C2
+    // ramp — Bench's clean-round selection discards slow early rounds
+    // anyway. One-shot mode keeps the full warm: its first timed rep has
+    // nothing else to ride on.
+    val warm = (if (serve) 1000L else 25000L) * spark.sparkContext.defaultParallelism
     timed(warm)
     // executor count (statusTracker includes the driver in local-cluster):
     // a rep that ran before every worker registered is NOT a valid leg
