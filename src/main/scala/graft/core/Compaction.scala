@@ -265,15 +265,26 @@ object Compaction {
         } else if (container.isIndex) {
           activeContext.termDefinitions.get(itemActiveProperty).flatMap(_.indexMapping) match {
             case Some(indexKey) =>
+              // property-based index: the FIRST STRING value of the (re-
+              // compacted) index property becomes the map key and is removed;
+              // remaining values are re-added. A non-string first value
+              // cannot be a map key: the entry goes under @none and the
+              // property stays UNTOUCHED (removing it would silently lose
+              // data — the compact→expand roundtrip must be lossless; c0054/
+              // c0055 pin this, matching the JS/Ruby processors; the old
+              // formulation dropped a lone non-string value and crashed on
+              // asString.get for a non-string array head)
               val ck = compactIri(activeContext, indexKey, options, None, vocab = true, reverse = false)
               compactedItem.asObj.flatMap { co =>
-                co.removeKey(ck).flatMap {
-                  case idx: JArr =>
+                co.get(ck) match {
+                  case Some(idx: JArr) if idx.iterator.hasNext && idx.iterator.next().asString.isDefined =>
+                    co.removeKey(ck)
                     val it = idx.iterator.toVector
-                    val ret = it.headOption.map(_.asString.get)
                     it.drop(1).foreach(v => addValue(co, ck, v, asArray = false))
-                    ret
-                  case JStr(s) => Some(s)
+                    it.head.asString
+                  case Some(JStr(s)) =>
+                    co.removeKey(ck)
+                    Some(s)
                   case _ => None
                 }
               }
