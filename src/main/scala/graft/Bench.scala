@@ -54,7 +54,13 @@ object Bench {
     // so headline numbers see zero probe interference. Selection and the
     // context-only engine-ceiling legs run after the headline (pure
     // computation / guarded forks).
-    val clusterProbeDocs = 1200000L
+    // 3M docs per rep: at 1.2M the 4N leg finished in ~2.1-2.6 s and fixed
+    // job overhead (scheduling 192 tasks across 4 executors, broadcast,
+    // stage setup ≈ 0.3-0.6 s) ate ~20% of the measurement, understating
+    // steady-state scaling — the question the 100 TB gate actually asks.
+    // At 3M the 4N leg runs ~5-6 s (overhead share <10%) and a round still
+    // costs well under a minute with serve-mode probes.
+    val clusterProbeDocs = 3000000L
     // Scaling evidence (north_rule: N vs 4N executors via spark-submit).
     // local-cluster gives real separate executor JVMs: 1×8-core executor vs
     // 4×8-core executors on the same input.
@@ -223,22 +229,32 @@ object Bench {
         })
         killer.setDaemon(true)
         killer.start()
+        // every read is fallible: a killer-destroyed process surfaces as
+        // IOException("Stream closed") from readLine, NOT as a null line —
+        // uncaught it killed the whole run (and its JSON) once
         val readers = ps.map { p =>
           val br = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
-          var line = br.readLine()
-          while (line != null && !line.contains("ready")) line = br.readLine()
+          try {
+            var line = br.readLine()
+            while (line != null && !line.contains("ready")) line = br.readLine()
+          } catch { case scala.util.control.NonFatal(_) => }
           br
         }
         // every process is warmed and parked at the barrier — release all at
         // once so the timed windows overlap fully
-        ps.foreach { p => p.getOutputStream.write('\n'); p.getOutputStream.flush() }
+        ps.foreach { p =>
+          try { p.getOutputStream.write('\n'); p.getOutputStream.flush() }
+          catch { case scala.util.control.NonFatal(_) => }
+        }
         val secs = readers.zip(ps).map { case (br, p) =>
           var sec = Double.NaN
-          var line = br.readLine()
-          while (line != null) {
-            line match { case SecRe(s) => sec = s.toDouble; case _ => }
-            line = br.readLine()
-          }
+          try {
+            var line = br.readLine()
+            while (line != null) {
+              line match { case SecRe(s) => sec = s.toDouble; case _ => }
+              line = br.readLine()
+            }
+          } catch { case scala.util.control.NonFatal(_) => }
           p.waitFor()
           sec
         }
