@@ -140,30 +140,51 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => pr.proc.destroyForcibly(); None }
       finally if (tee != null) tee.close()
     }
-    // one timed rep; NaN when the probe died or ran with a short cluster
-    // (fewer registered executors than requested — not a valid leg)
+    // one timed rep; NaN when the probe died, timed out, or ran with a short
+    // cluster (fewer registered executors than requested — not a valid leg)
     def legRep(pr: ClusterProbeProc): (Double, Double) = try {
-      pr.proc.getOutputStream.write("rep\n".getBytes("UTF-8"))
-      pr.proc.getOutputStream.flush()
-      var line = pr.out.readLine()
-      var res = (Double.NaN, Double.NaN)
-      var found = false
-      while (!found && line != null) {
-        line match {
-          case RepRe(sec, st, ex) =>
-            found = true
-            if (ex.toInt >= pr.executors) res = (sec.toDouble, st.toDouble)
-          case _ => line = pr.out.readLine()
+      // rep watchdog: a wedged Spark job inside the probe would otherwise
+      // block readLine past the driver's kill deadline — the one unbounded
+      // wait left once the startup watchdog disarms. Killing the probe makes
+      // readLine fail -> NaN -> the round loop sees a dead probe and stops.
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val killer = new Thread(() => {
+        val capSec = math.max(math.min(120.0, 520.0 - mainElapsed), 1.0)
+        val deadline = System.nanoTime() + (capSec * 1e9).toLong
+        while (!done.get() && System.nanoTime() < deadline) Thread.sleep(500)
+        if (!done.get()) pr.proc.destroyForcibly()
+      })
+      killer.setDaemon(true)
+      killer.start()
+      try {
+        pr.proc.getOutputStream.write("rep\n".getBytes("UTF-8"))
+        pr.proc.getOutputStream.flush()
+        var line = pr.out.readLine()
+        var res = (Double.NaN, Double.NaN)
+        var found = false
+        while (!found && line != null) {
+          line match {
+            case RepRe(sec, st, ex) =>
+              found = true
+              if (ex.toInt >= pr.executors) res = (sec.toDouble, st.toDouble)
+            case _ => line = pr.out.readLine()
+          }
         }
-      }
-      res
+        res
+      } finally done.set(true)
     } catch { case scala.util.control.NonFatal(_) => (Double.NaN, Double.NaN) }
     def stopProbe(pr: Option[ClusterProbeProc]): Unit = pr.foreach { p =>
       try {
         p.proc.getOutputStream.write("quit\n".getBytes("UTF-8"))
         p.proc.getOutputStream.flush()
       } catch { case scala.util.control.NonFatal(_) => }
-      if (!p.proc.waitFor(20, java.util.concurrent.TimeUnit.SECONDS)) p.proc.destroyForcibly()
+      // 5 s grace then forceful: teardown runs between scaling and headline,
+      // where every second is uncharged budget. destroyForcibly kills only
+      // the submit JVM — take the executor/worker descendants down with it
+      if (!p.proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.proc.descendants().forEach(h => { h.destroyForcibly(); () })
+        p.proc.destroyForcibly()
+      }
     }
     // Pure-JVM hardware-scaling ceiling: fixed total work, 8 vs 32 threads,
     // no Spark. With only 8 of 32 cores busy the box delivers more per-core
@@ -274,8 +295,6 @@ object Bench {
     // engine-ceiling legs moved OUT of the rounds (round-3): at ~90 s/round
     // of fork+preTouch overhead they pushed round 3 past the budget guard,
     // and 2 rounds defeat the median that the whole design rests on.
-    val scalingT0 = System.nanoTime()
-    def scalingElapsed: Double = (System.nanoTime() - scalingT0) / 1e9
     // engine legs run ONCE each (context-only metric): best-of-2 doubled the
     // fork+preTouch cost and in a degraded window pushed the run past the
     // driver budget; the plausibility band on the ratio nulls garbage legs
@@ -350,8 +369,15 @@ object Bench {
           // pipeline/JSON section intact (measured 50-135 s incl. degraded
           // windows). Rounds are cheap (one rep per leg + hw probe, 12-45 s)
           // so even a 300 s probe startup leaves room for 3-5 of them.
-          continue = r.valid && rounds.count(_.clean) < 3 && rounds.size < 8 &&
-            mainElapsed < 395.0 && mainElapsed + worstRoundSecs * 1.25 < 430.0
+          // scaling runs FIRST: its phase cap must leave the warmup/headline/
+          // pipeline/JSON section intact (measured 50-135 s incl. degraded
+          // windows, uncharged by any later guard). Keep sampling while both
+          // probes are ALIVE — an invalid round (short cluster during an
+          // executor re-registration, a timed-out rep against a live probe)
+          // must not abort the search the way a dead probe does.
+          continue = pn.proc.isAlive && p4.proc.isAlive &&
+            rounds.count(_.clean) < 3 && rounds.size < 8 &&
+            mainElapsed < 380.0 && mainElapsed + worstRoundSecs * 1.25 < 420.0
         }
       case _ =>
     }

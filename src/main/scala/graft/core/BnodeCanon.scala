@@ -201,6 +201,16 @@ object BnodeCanon {
     // single pass, left to right — sequential String.replace mis-parses
     // mixed sequences ("\\n" = escaped backslash + 'n' became backslash +
     // newline, caught by toRdf/r0049's JCS fixture)
+    // truncated/garbage \uXXXX must fail as a parse diagnostic, not leak a
+    // StringIndexOutOfBounds/NumberFormatException out of a fixture parser
+    def hexEscape(s: String, from: Int, n: Int): Int =
+      try {
+        if (from + n > s.length) throw new IndexOutOfBoundsException
+        Integer.parseInt(s.substring(from, from + n), 16)
+      } catch {
+        case _: IndexOutOfBoundsException | _: NumberFormatException =>
+          throw new IllegalArgumentException(s"malformed \\u escape in N-Quads literal: $s")
+      }
     def unescape(s: String): String = {
       if (s.indexOf('\\') < 0) return s
       val sb = new java.lang.StringBuilder(s.length)
@@ -218,8 +228,8 @@ object BnodeCanon {
             case '"' => sb.append('"')
             case '\'' => sb.append('\'')
             case '\\' => sb.append('\\')
-            case 'u' => sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
-            case 'U' => sb.appendCodePoint(Integer.parseInt(s.substring(i + 1, i + 9), 16)); i += 8
+            case 'u' => sb.append(hexEscape(s, i + 1, 4).toChar); i += 4
+            case 'U' => sb.appendCodePoint(hexEscape(s, i + 1, 8)); i += 8
             case other => sb.append('\\').append(other)
           }
         } else sb.append(c)

@@ -245,7 +245,12 @@ object SimilarityOps {
     val probes = udf((v: Seq[Float]) => nearestCellsJvm(v, cents, nProbe))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
       explode(probes(col(vecCol))).as("cell")))
-    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    // probed cells computed on the DRIVER from one collect of the raw query
+    // vectors (small by the same contract that makes q broadcast-able) —
+    // running a separate Spark job over q just to learn the cell list would
+    // execute the query-side plan (UDF + explode) twice
+    val probedCells = queries.select(col(vecCol)).collect()
+      .flatMap(r => nearestCellsJvm(r.getSeq[Float](0), cents, nProbe)).distinct.sorted
     val pruned = index.filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     val scored = pruned.join(q, Seq("cell")).filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(cosine(col("query_vec"), col("cand_vec")), 6))
