@@ -85,11 +85,16 @@ object VecCosine {
   * this expression is one fused Java loop inside whole-stage codegen.
   * `planes` must be ≤ 63 (bit-packed into one long); `seed` selects an
   * independent plane family (multi-table LSH uses one family per table).
+  * `planes = 0` is the DEGENERATE configuration: zero hyperplanes → the
+  * signature is the constant 0 for every vector → one bucket holding the
+  * whole corpus, so bucketed LSH provably covers all pairs and degenerates
+  * to exact brute force — the exactness anchor SparkEntry's e08 oracles
+  * (the e05 nProbe==nCells trick applied to the hyperplane path).
   */
 case class VecLshSignature(child: Expression, planes: Int, seed: Int = 0)
     extends UnaryExpression {
 
-  require(planes > 0 && planes <= 63, s"planes must be in [1, 63], got $planes")
+  require(planes >= 0 && planes <= 63, s"planes must be in [0, 63], got $planes")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_lsh_signature"

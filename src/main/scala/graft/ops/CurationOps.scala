@@ -58,6 +58,18 @@ object CurationOps {
     * cluster sizes (the property that matters when the corpus is
     * re-materialized incrementally at 100 TB: a document's split never
     * changes as the table grows).
+    *
+    * HASH VERSION: this is hash v2 (the chunked two-round mix above, since
+    * round 4). It is NOT assignment-compatible with v1 (the single
+    * multiplicative `(key*2654435761) % 100` of rounds ≤ 3): a corpus
+    * materialized under v1 must be re-split wholesale — never extended
+    * incrementally under v2, or train/test contaminate across versions.
+    * The "split never changes" promise holds within one hash version.
+    *
+    * Null or non-integral keys fail the JOB (raise_error), not silently
+    * land in a bucket: a nullable key column would otherwise route every
+    * null (and, in non-ANSI mode, every uncastable string) to one split,
+    * producing a skewed, meaningless partition with no signal.
     */
   def splitByKey(df: DataFrame, keyCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
@@ -65,8 +77,13 @@ object CurationOps {
     require(!df.columns.contains("split"),
       "splitByKey: input already has a 'split' column — rename it first")
     val bucket: Column = pmod(mix64(col(keyCol)), lit(100L))
+    // bucket is null iff cast(key as long) was null: a null key, or a
+    // non-integral key under non-ANSI cast semantics
     df.withColumn("split",
-      when(bucket < trainPct, lit("train"))
+      when(bucket.isNull, raise_error(concat(
+          lit(s"splitByKey: null or non-integral key in '$keyCol': "),
+          coalesce(col(keyCol).cast("string"), lit("NULL")))))
+        .when(bucket < trainPct, lit("train"))
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }

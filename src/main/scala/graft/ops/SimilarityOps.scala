@@ -242,15 +242,26 @@ object SimilarityOps {
     */
   def ivfProbeIndex(index: DataFrame, cents: Array[Array[Double]], queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val probes = udf((v: Seq[Float]) => nearestCellsJvm(v, cents, nProbe))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      explode(probes(col(vecCol))).as("cell")))
-    // probed cells computed on the DRIVER from one collect of the raw query
-    // vectors (small by the same contract that makes q broadcast-able) —
-    // running a separate Spark job over q just to learn the cell list would
-    // execute the query-side plan (UDF + explode) twice
-    val probedCells = queries.select(col(vecCol)).collect()
-      .flatMap(r => nearestCellsJvm(r.getSeq[Float](0), cents, nProbe)).distinct.sorted
+    val spark = queries.sparkSession
+    // the `queries` plan is evaluated exactly ONCE, on the driver (bounded by
+    // the same contract that makes the query side broadcast-able): BOTH the
+    // partition-prune cell list and the broadcast join side derive from this
+    // single collect. Evaluating the plan twice (once for the cell list, once
+    // inside the join) would let a queries DataFrame that is nondeterministic
+    // under recomputation — a bare limit, a sample — pick different rows per
+    // evaluation, so the prune filter could exclude cells the join side
+    // probes, silently dropping true neighbors.
+    val base = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val collected = base.collect()
+    val cellsPer = collected.map(r => nearestCellsJvm(r.getSeq[Float](1), cents, nProbe))
+    val explodedRows: Seq[org.apache.spark.sql.Row] =
+      collected.zip(cellsPer).toSeq.flatMap { case (r, cells) =>
+        cells.map(c => org.apache.spark.sql.Row(r.get(0), r.get(1), c))
+      }
+    val schema = base.schema.add("cell", org.apache.spark.sql.types.IntegerType, nullable = false)
+    import scala.jdk.CollectionConverters._
+    val q = broadcast(spark.createDataFrame(explodedRows.asJava, schema))
+    val probedCells = cellsPer.flatten.distinct.sorted
     val pruned = index.filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     val scored = pruned.join(q, Seq("cell")).filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(cosine(col("query_vec"), col("cand_vec")), 6))
@@ -267,6 +278,13 @@ object SimilarityOps {
     * the plan stays broadcast + bucket-pruned, never all-pairs). Candidate
     * pairs found by several tables are deduplicated before scoring so the
     * cosine kernel runs once per distinct pair.
+    *
+    * `planes = 0, tables = 1` is the DEGENERATE exactness anchor: one bucket
+    * holds the whole corpus, every (query, candidate) pair is a candidate,
+    * and the result equals [[bruteForceTopK]] exactly (same cosine kernel,
+    * same rounding, same tie-break) — DuckDB-oracled as e08, pinned in
+    * OpsSpec. The degeneracy makes the candidate-generation plumbing itself
+    * checkable: any bug that drops or duplicates pairs breaks exact equality.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, planes: Int = 8, tables: Int = 4): DataFrame = {

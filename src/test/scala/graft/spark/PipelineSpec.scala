@@ -168,6 +168,22 @@ class PipelineSpec extends AnyFunSuite {
     triples.unpersist()
   }
 
+  test("j12 pin: canonical labelset hash of the fixed deep-bnode corpus matches SparkEntry's constants") {
+    // re-derives the j12 constants from the same code path the query runs:
+    // 120-doc deep-bnode corpus → expand → scoped canonicalization →
+    // order-independent sum of per-row xxhash64. Any label-assignment change
+    // (hash inputs, tie-break, scope seeding, refinement depth) moves the
+    // hash — this test names the new value so the pin can be consciously
+    // re-derived, while the j12 query itself just empties at verify time.
+    val row = graft.SparkEntry.j12LabelsetSummary(spark).head()
+    val (n, h) = (row.getLong(0), BigDecimal(row.getDecimal(1)))
+    info(s"deep-bnode 120-doc canonical pin: n_triples=$n labelset_hash=$h")
+    assert(n == graft.SparkEntry.J12ExpectedTriples,
+      s"triple count drifted: got $n, pinned ${graft.SparkEntry.J12ExpectedTriples}")
+    assert(h == graft.SparkEntry.J12ExpectedHash,
+      s"canonical labelset hash drifted: got $h, pinned ${graft.SparkEntry.J12ExpectedHash}")
+  }
+
   test("span-sequence invariant: pipeline output preserves (kind,text,media_ref,order) per doc") {
     import spark.implicits._
     val docs = SyntheticDocs.generate(spark, 100, 4).cache()
