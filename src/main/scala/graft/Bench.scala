@@ -212,13 +212,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def hwProbe(): Double = {
-      // single pair, not best-of-2: the probe runs once per interleaved round
-      // and the cross-round median already rejects drift outliers — best-of-2
-      // here cost ~12 s/round and pushed round 3 past the 420 s budget guard
-      // (leaving only 2 rounds, which defeats the median)
-      val t8 = hwRun(8)
-      val t32 = hwRun(32)
-      (t8 / t32) / 4.0
+      // single pair when the reading is plausible (best-of-2 ALWAYS cost
+      // ~12 s/round and pushed round 3 of r03 past the budget guard). But a
+      // pair whose legs straddle a window flip reads garbage — measured
+      // 0.12 (t32 leg stalled) and 1.26 (t8 leg stalled, physically >1.05)
+      // in adjacent rounds of one r05 run — so an IMPLAUSIBLE reading gets
+      // one retry: ~6-12 s, paid only in drift windows, and it keeps the
+      // median round's own hw evidence usable (an implausible median-round
+      // probe voids the artifact via hwRoundCeiling > 1.05 even when the
+      // cross-round fallback is fine).
+      def pair(): Double = {
+        val t8 = hwRun(8)
+        val t32 = hwRun(32)
+        (t8 / t32) / 4.0
+      }
+      val first = pair()
+      if (first > 0.15 && first <= 1.05) first else pair()
     }
 
     // Workload-true ceiling: the SAME engine, SAME executor topology
@@ -390,7 +399,11 @@ object Bench {
       "e01_knn_bruteforce", "e02_ann_lsh", "e04_ann_ivf", "j01_expand_triples", "j02_graph_pipeline")
     val all = SparkEntry.queries
     // untimed warmup: session/codegen/parquet-footer setup otherwise lands
-    // entirely on the first measured query (q01 read ~3 s of one-time cost)
+    // entirely on the first measured query (q01 read ~3 s of one-time cost).
+    // TIMED AS WINDOW EVIDENCE: healthy warmup ≈ 25 s; the r04 voided
+    // headline's warmup ran 67 s — warmup time is a degraded-window tell the
+    // steal counter misses.
+    val warmT0 = System.nanoTime()
     try {
       spark.range(1000).selectExpr("sum(id)").count()
       all.get("q01_agg_pricing").foreach(fn => fn(spark, sfDir).count())
@@ -412,21 +425,74 @@ object Bench {
       // resurface confusingly inside the first timed query
       case scala.util.control.NonFatal(e) => System.err.println(s"[bench] warmup failed: $e")
     }
-    note("warmup done")
-    val headlineSteal0 = StealMeter.snap()
-    val results = headline.flatMap { name =>
-      all.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
+    note(f"warmup done in $warmupSec%.1fs")
+
+    // ---- HEADLINE, window-certified like the scaling rounds (round-4 judge
+    // item 1: three rounds running, the headline artifact of record landed in
+    // a steal-invisible degraded window — r04 read 114 s at steal 0.000 while
+    // the same code measures ~21 s healthy). Every attempt carries its own
+    // same-window evidence: the hw thread-scaling probe run immediately
+    // before it (healthy 0.76-0.85 on this box; the r04 degraded window read
+    // 0.60-0.75) and the hypervisor-steal share during it. A suspect first
+    // attempt gets ONE in-budget retry; the reported headline is the cleaner
+    // window's attempt, and `suspect` is the CHOSEN attempt's own evidence.
+    final case class HeadlineAttempt(results: Vector[(String, Double)], hw: Double,
+        steal: Double, wallSec: Double) {
+      def totalSec: Double = results.map(_._2).sum
+      // three independent tells: the hw probe sampled just before the attempt
+      // (healthy 0.76-0.85), hypervisor steal during it, and an absolute
+      // total backstop for degradation that STARTS after the probe (healthy
+      // sf0.1 totals are 14-25 s; the r04 voided headline read 114 s at
+      // steal 0.000 — 45 s is 2-3x margin over healthy, far under the
+      // failure mode). The backstop is calibrated to the driver's sf0.1
+      // headline set; re-derive it if the query list or sf changes.
+      def windowSuspect: Boolean = hw < 0.70 || (!steal.isNaN && steal > CleanSteal) ||
+        (sfDir.contains("0.1") && totalSec > 45.0)
     }
-    // hypervisor-steal share during the headline window: the context that
-    // separates "the engine got slower" from "the host was taken" when
-    // comparing headline totals across rounds
-    val headlineSteal = StealMeter.share(headlineSteal0, StealMeter.snap())
-    note(f"headline done (steal=$headlineSteal%.3f)")
+    def runHeadline(): HeadlineAttempt = {
+      val hw = hwProbe()
+      val s0 = StealMeter.snap()
+      val t0 = System.nanoTime()
+      val results = headline.flatMap { name =>
+        all.get(name).map { fn =>
+          val q0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+          name -> (System.nanoTime() - q0) / 1e9
+        }
+      }
+      val steal = StealMeter.share(s0, StealMeter.snap())
+      HeadlineAttempt(results, hw, steal, (System.nanoTime() - t0) / 1e9)
+    }
+    val warmupSuspect = warmupSec > 50.0
+    val attempt1 = runHeadline()
+    note(f"headline attempt 1: total=${attempt1.totalSec}%.1fs hw=${attempt1.hw}%.2f steal=${attempt1.steal}%.3f warmup_suspect=$warmupSuspect")
+    // retry when the attempt's own window is suspect, or the warmup window
+    // was degraded AND the total looks inflated (healthy ≈ 17-25 s at sf0.1)
+    val wantRetry = attempt1.windowSuspect || (warmupSuspect && attempt1.totalSec > 30.0)
+    // predictive budget: the retry (hw probe ~8 s + the attempt's own wall
+    // time with drift margin) plus the pipeline + JSON tail (~45 s) must fit
+    val retryFits = mainElapsed + 8.0 + attempt1.wallSec * 1.25 + 45.0 < 560.0
+    val (chosen, attempts) =
+      if (wantRetry && retryFits) {
+        val attempt2 = runHeadline()
+        note(f"headline attempt 2: total=${attempt2.totalSec}%.1fs hw=${attempt2.hw}%.2f steal=${attempt2.steal}%.3f")
+        // prefer the clean-window attempt; both clean or both dirty → faster
+        val pick =
+          if (attempt2.windowSuspect == attempt1.windowSuspect)
+            (if (attempt2.totalSec < attempt1.totalSec) attempt2 else attempt1)
+          else if (attempt1.windowSuspect) attempt2
+          else attempt1
+        (pick, 2)
+      } else (attempt1, 1)
+    val results = chosen.results
+    val headlineSteal = chosen.steal
+    // the chosen attempt's OWN window evidence; the warmup tell only taints
+    // a first attempt that also reads slow (a clean retry clears it)
+    val headlineSuspect = chosen.windowSuspect ||
+      (attempts == 1 && warmupSuspect && chosen.totalSec > 30.0)
+    note(f"headline done (attempts=$attempts steal=$headlineSteal%.3f hw=${chosen.hw}%.2f suspect=$headlineSuspect)")
 
     // pipeline throughput at the benchmark parallelism
     val (tPipe, nTriples) = pipelineRun(spark, 40000, cpus)
@@ -547,7 +613,12 @@ object Bench {
       s"""{"cluster_n_sec":${jd(r.t1)},"cluster_4n_sec":${jd(r.t4)},"efficiency":${jd(r.ratio)},"hw_ceiling":${jd(r.hw)},"steal_n":${jd(r.s1)},"steal_4n":${jd(r.s4)},"clean":${r.clean}}"""
     }.mkString("[", ",", "]")
     val scaling = s"""{"mode":"$mode","executors_n":1,"executors_4n":4,"cores_per_executor":8,"docs":${if (mode == "local-cluster-executors") clusterProbeDocs else 300000},"t_n_sec":${jd(t1x)},"t_4n_sec":${jd(t4x)},"efficiency_n_to_4n":${jd(efficiency)},"suspect":$suspect,"rounds":$roundsJson,"rounds_dropped":${dropped.size},"clean_rounds":${clean.size},"clean_steal_bound":$CleanSteal,"hw_ceiling_8_to_32_threads":${jd(hwCeiling)},"hw_ceiling_median_round":${jd(hwRoundCeiling)},"hw_normalized_efficiency":${jd(hwNormalized)},"engine_n_sec":${jd(engN)},"engine_4n_sec":${jd(eng4)},"engine_ceiling_1x8_vs_4x8_jvms":${jd(engCeiling)},"spark_layer_efficiency":${jd(sparkLayer)}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_steal":${jd(headlineSteal)},"pipeline":$pipe,"scaling":$scaling}"""
+    // headline window certification block (round-4 judge item 1): the same
+    // evidence the scaling rounds carry, attached to the headline itself —
+    // the hw probe sampled immediately before the chosen attempt, the steal
+    // share during it, the warmup duration, and the suspect verdict
+    val headlineJson = s"""{"warmup_sec":${jd(warmupSec)},"attempts":$attempts,"hw_probe":${jd(chosen.hw)},"steal":${jd(chosen.steal)},"attempt1_total_sec":${jd(attempt1.totalSec)},"suspect":$headlineSuspect}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_steal":${jd(headlineSteal)},"headline":$headlineJson,"pipeline":$pipe,"scaling":$scaling}"""
     // bare-JSON file: sbt prefixes stdout with [info]/[error], which broke the
     // driver's tail-scrape in round 1 ("parsed": null) — a known file never does
     try {
