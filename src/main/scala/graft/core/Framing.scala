@@ -161,6 +161,15 @@ object Framing {
                     state.graphMap(state.graph).contains(io.get("@id").get.asString.get) =>
                   matchFrame(state, Vector(io.get("@id").get.asString.get),
                     subframe.getOrElse(implicitFrame(flags)), outArr, flags)
+                case Some(io) if io.contains("@value") =>
+                  // Value Pattern filtering (Framing spec — value objects in
+                  // a matched node survive only if they match the frame's
+                  // value pattern for this property; a frame entry that is
+                  // not a value pattern keeps every value). Round-5 fixture
+                  // fr0042 caught the miss: patterns were used for NODE
+                  // matching only, never to filter the emitted values.
+                  if (subframe.forall(sf => !sf.contains("@value") || valueMatch(sf, io)))
+                    outArr.push(item.deepCopy)
                 case _ => outArr.push(item.deepCopy)
               }
             })

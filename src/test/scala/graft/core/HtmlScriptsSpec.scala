@@ -103,6 +103,39 @@ class HtmlScriptsSpec extends AnyFunSuite {
     assert(HtmlScripts.scripts(abrupt2).size == 1)
   }
 
+  test("scanner: attribute syntax variants (unquoted, spaced =, missing type, media params)") {
+    // unquoted attribute value (valid HTML): still a candidate
+    val unquoted = """<script type=application/ld+json>{"@id": "http://n/u"}</script>"""
+    val u = HtmlScripts.scripts(unquoted)
+    assert(u.size == 1 && u(0).attrs("type") == "application/ld+json")
+    assert(HtmlScripts.extract(unquoted, None, extractAllScripts = false)
+      .asObj.exists(_.get("@id").contains(JStr("http://n/u"))))
+    // whitespace around '=' (valid per the HTML attribute grammar)
+    val spaced = "<script type = \"application/ld+json\">{\"@id\": \"http://n/s\"}</script>"
+    assert(HtmlScripts.extract(spaced, None, extractAllScripts = false)
+      .asObj.exists(_.get("@id").contains(JStr("http://n/s"))))
+    // a script with NO type attribute is a classic-script, never a candidate
+    val untyped =
+      """<script>{"@id": "http://n/no"}</script>
+        |<script type="application/ld+json">{"@id": "http://n/yes"}</script>""".stripMargin
+    val v = HtmlScripts.extract(untyped, None, extractAllScripts = true)
+    val ids = v.asArr.get.iterator.flatMap(_.asObj).flatMap(_.get("@id")).toVector
+    assert(ids == Vector(JStr("http://n/yes")))
+    // profile media-type parameter (not just charset) is still a candidate
+    val profiled =
+      """<script type='application/ld+json;profile=http://www.w3.org/ns/json-ld#expanded'>
+        |[{"@id": "http://n/p"}]</script>""".stripMargin
+    val p = HtmlScripts.extract(profiled, None, extractAllScripts = true)
+    assert(p.asArr.get.iterator.flatMap(_.asObj).flatMap(_.get("@id")).toVector ==
+      Vector(JStr("http://n/p")))
+    // empty script body is not a JSON document -> invalid script element
+    val empty = """<script type="application/ld+json"></script>"""
+    val err = intercept[JsonLdError] {
+      HtmlScripts.extract(empty, None, extractAllScripts = false)
+    }
+    assert(err.code == ErrorCode.InvalidScriptElement)
+  }
+
   test("fuzz: the scanner never throws anything but JsonLdError on hostile markup") {
     // corpus operators must degrade to error-channel rows, never kill a task
     val rnd = new scala.util.Random(20260817L)
