@@ -111,6 +111,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile ships a bounded sketch through the shuffle (the 100 TB order-statistics shape)") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // Both percentile flavors get a map-side partial_ phase; the 100 TB
+    // difference is the PARTIAL STATE: approx_percentile's is a
+    // QuantileSummaries sketch bounded by the accuracy parameter, while
+    // exact percentile's is the group's entire value multiset (the shuffle
+    // carries every row's value — correct, but the reason q19 keeps it only
+    // as the small-scale oracle anchor and q21 adds the sketch).
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("m"))
+    approx.collect()
+    val pa = approx.queryExecution.executedPlan.toString
+    assert(pa.contains("partial_approx_percentile"),
+      "approx_percentile lost its partial phase:\n" + pa.take(2000))
+    // pin the sketch implementation (bounded state) rather than trusting
+    // the name: the aggregate must be Spark's ApproximatePercentile
+    val hasSketchAgg = approx.queryExecution.optimizedPlan.expressions.exists(e =>
+      e.collectFirst {
+        case a: org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile => a
+      }.isDefined) ||
+      approx.queryExecution.optimizedPlan.collect {
+        case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          agg.aggregateExpressions.exists(_.collectFirst {
+            case a: org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile => a
+          }.isDefined)
+      }.exists(identity)
+    assert(hasSketchAgg, "q21's sketch is not ApproximatePercentile:\n" + pa.take(1000))
+  }
+
   test("expansion stage has no shuffle (partition-local by design)") {
     val ctxB = spark.sparkContext.broadcast(RemoteContextPool.pool)
     val docs = SyntheticDocs.generate(spark, 100, 4)
