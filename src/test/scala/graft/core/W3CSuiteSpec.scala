@@ -88,6 +88,24 @@ class W3CSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("ordered and unordered expansion agree (as sets) on every positive expand fixture") {
+    // `ordered` only fixes map-entry PROCESSING order (spec: deterministic
+    // output ordering); it must never change the result set. Any divergence
+    // means some code path depends on map insertion order for semantics.
+    for (id <- listCases(expandDir)
+         if !Files.exists(expandDir.resolve(s"$id-error.txt"))) {
+      val base = s"http://example.org/t/$id-in.jsonld"
+      val opts = optionsFor(expandDir, id, base)
+      def run(ordered: Boolean) = JsonLdApi.expand(
+        JsonLdInput.Doc(JsonParser.parse(readFile(expandDir.resolve(s"$id-in.jsonld")))),
+        opts.copy(ordered = ordered), loader)
+      val unord = run(ordered = false)
+      val ord = run(ordered = true)
+      assert(JsonEq.jsonLdEq(ord, unord, ordered = false),
+        s"fixture $id: ordered expansion changed the RESULT, not just its order\nordered:   ${JsonWriter.write(ord)}\nunordered: ${JsonWriter.write(unord)}")
+    }
+  }
+
   // ---- toRdf ----
   private val toRdfDir = root.resolve("toRdf")
   for (id <- listCases(toRdfDir)) {

@@ -360,6 +360,33 @@ class OpsSpec extends AnyFunSuite {
     assert(good.error == null && good.modality == "image" && good.width == 16 && good.height == 16)
   }
 
+  test("media codec fuzz: truncations and byte flips of valid containers never throw") {
+    // the 100 TB contract: decode returns Left on poison bytes, never an
+    // exception (same discipline as the HtmlScripts scanner fuzz)
+    val rnd = new scala.util.Random(20260818L)
+    val bases = Seq(
+      MediaCodec.writeBmp(24, 18, 1L),
+      MediaCodec.writeWav(2048, 2L),
+      MediaCodec.writeAvi(128, 96, 60, 33367, 3L))
+    var decodedOk = 0
+    for (base <- bases; _ <- 0 until 400) {
+      val mode = rnd.nextInt(3)
+      val payload: Array[Byte] = mode match {
+        case 0 => base.take(rnd.nextInt(base.length + 1)) // truncation
+        case 1 => // random byte flips (1-4 of them)
+          val b = base.clone()
+          (0 until 1 + rnd.nextInt(4)).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+          b
+        case _ => Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte) // garbage
+      }
+      MediaCodec.decode(payload) match { // must not throw
+        case Right(_) => decodedOk += 1
+        case Left(_) =>
+      }
+    }
+    info(s"fuzz: $decodedOk of 1200 mutated payloads still parsed (flips can miss the header)")
+  }
+
   test("multimodal plumbing: real header-parsed decode, deterministic, modality from container magic") {
     val refs = (1 to 30).map(i => s"media://bucket/v$i").toDS()
     val media = MultimodalOps.decodeAndFeaturize(refs)
