@@ -440,15 +440,22 @@ object Bench {
     final case class HeadlineAttempt(results: Vector[(String, Double)], hw: Double,
         steal: Double, wallSec: Double) {
       def totalSec: Double = results.map(_._2).sum
-      // three independent tells: the hw probe sampled just before the attempt
-      // (healthy 0.76-0.85), hypervisor steal during it, and an absolute
-      // total backstop for degradation that STARTS after the probe (healthy
-      // sf0.1 totals are 14-25 s; the r04 voided headline read 114 s at
-      // steal 0.000 — 45 s is 2-3x margin over healthy, far under the
-      // failure mode). The backstop is calibrated to the driver's sf0.1
-      // headline set; re-derive it if the query list or sf changes.
-      def windowSuspect: Boolean = hw < 0.70 || (!steal.isNaN && steal > CleanSteal) ||
-        (sfDir.contains("0.1") && totalSec > 45.0)
+      // window tells: the hw probe sampled just before the attempt (healthy
+      // 0.76-0.85; degraded windows read 0.16-0.72) and hypervisor steal
+      // during it. Degraded-window evidence triggers a RETRY (a better
+      // window usually exists minutes away — measured 22.7 s → 19.0 s and
+      // 46.7 s → 13.9 s in r05 runs)...
+      def windowDegraded: Boolean = hw < 0.70 || (!steal.isNaN && steal > CleanSteal)
+      // ...but contention is ONE-SIDED: a shaky window can only INFLATE a
+      // total, so a healthy total still upper-bounds the engine and is safe
+      // to report. `suspect` therefore marks totals that may be
+      // window-INFLATED: measurable steal, a degraded window WITH a slow
+      // total, or the absolute backstop for degradation that starts after
+      // the probe (healthy sf0.1 totals are 14-25 s; the r04 voided
+      // headline read 114 s at steal 0.000). Thresholds are calibrated to
+      // the driver's sf0.1 headline set; re-derive if the set or sf changes.
+      def windowSuspect: Boolean = (!steal.isNaN && steal > CleanSteal) ||
+        (sfDir.contains("0.1") && ((windowDegraded && totalSec > 30.0) || totalSec > 45.0))
     }
     def runHeadline(): HeadlineAttempt = {
       val hw = hwProbe()
@@ -468,9 +475,10 @@ object Bench {
     val warmupSuspect = warmupSec > 50.0
     val attempt1 = runHeadline()
     note(f"headline attempt 1: total=${attempt1.totalSec}%.1fs hw=${attempt1.hw}%.2f steal=${attempt1.steal}%.3f warmup_suspect=$warmupSuspect")
-    // retry when the attempt's own window is suspect, or the warmup window
-    // was degraded AND the total looks inflated (healthy ≈ 17-25 s at sf0.1)
-    val wantRetry = attempt1.windowSuspect || (warmupSuspect && attempt1.totalSec > 30.0)
+    // retry when the attempt's own window was degraded (even with a healthy
+    // total — a cleaner window usually reads lower still), or the warmup
+    // window was degraded AND the total looks inflated
+    val wantRetry = attempt1.windowDegraded || (warmupSuspect && attempt1.totalSec > 30.0)
     // predictive budget: the retry (hw probe ~8 s + the attempt's own wall
     // time with drift margin) plus the pipeline + JSON tail (~45 s) must fit
     val retryFits = mainElapsed + 8.0 + attempt1.wallSec * 1.25 + 45.0 < 560.0
@@ -480,9 +488,9 @@ object Bench {
         note(f"headline attempt 2: total=${attempt2.totalSec}%.1fs hw=${attempt2.hw}%.2f steal=${attempt2.steal}%.3f")
         // prefer the clean-window attempt; both clean or both dirty → faster
         val pick =
-          if (attempt2.windowSuspect == attempt1.windowSuspect)
+          if (attempt2.windowDegraded == attempt1.windowDegraded)
             (if (attempt2.totalSec < attempt1.totalSec) attempt2 else attempt1)
-          else if (attempt1.windowSuspect) attempt2
+          else if (attempt1.windowDegraded) attempt2
           else attempt1
         (pick, 2)
       } else (attempt1, 1)

@@ -18,6 +18,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Staging root for queries that materialize bytes both engines must read
+    * (j10's staged triples — the DuckDB oracle reads the SAME parquet — and
+    * e07's IVF index). Env-overridable so a repo move does not strand the
+    * absolute path; the j10 oracle SQL interpolates this SAME value, so the
+    * two engines can never read different bytes.
+    */
+  private val StageRoot = sys.env.getOrElse("GRAFT_STAGE_DIR", "/root/repo/target/verify_stage")
+
   /** Synthetic interleaved-docs corpus size per scale factor (FIXTURES.md §1). */
   private def docCount(sfDir: String): Long =
     if (sfDir.contains("0.1")) 50000L
@@ -575,7 +583,7 @@ object SparkEntry {
       // impossible by construction (both sides read identical bytes), so
       // this isolates and pins the aggregation math j02 runs. The engine
       // half (expansion itself) stays covered by the 335-fixture suite + j01.
-      val stage = "/root/repo/target/verify_stage/j01_triples"
+      val stage = s"$StageRoot/j01_triples"
       pipelineTriples(s, d).toDF()
         .coalesce(4).write.mode("overwrite").parquet(stage)
       s.read.parquet(stage)
@@ -628,7 +636,7 @@ object SparkEntry {
       // OpsSpec/PlanSpec)
       val emb = t(s, d, "embeddings")
       val queries = emb.orderBy("vec_id").limit(10)
-      val dir = "/root/repo/target/verify_stage/ivf_index"
+      val dir = s"$StageRoot/ivf_index"
       val cents = SimilarityOps.ivfBuildIndex(emb, "vec_id", "embedding", dir, nCells = 16)
       val indexed = SimilarityOps.ivfProbeIndex(s.read.parquet(dir), cents, queries,
         "vec_id", "embedding", k = 5, nProbe = 4)
@@ -866,10 +874,11 @@ object SparkEntry {
          SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.15 ORDER BY id_a, id_b""",
     "j10_triples_relational" ->
       // replays the aggregation over the SAME staged parquet the Spark side
-      // wrote (absolute path — the driver's DuckDB process reads it directly;
-      // the stage is (re)written by the j10 query before any oracle runs)
-      """SELECT pred, count(*) AS n, count(DISTINCT subj) AS n_subj
-         FROM read_parquet('/root/repo/target/verify_stage/j01_triples/*.parquet')
+      // wrote (the shared StageRoot — the driver's DuckDB process reads it
+      // directly; the stage is (re)written by the j10 query before any
+      // oracle runs)
+      s"""SELECT pred, count(*) AS n, count(DISTINCT subj) AS n_subj
+         FROM read_parquet('$StageRoot/j01_triples/*.parquet')
          GROUP BY pred ORDER BY n DESC, pred""",
     "m04_frame_math" ->
       """WITH m AS (SELECT 'm' || CAST(p_partkey AS VARCHAR) AS media_ref,
