@@ -267,6 +267,13 @@ object Expansion {
       state: ApiState
   ): Unit = {
     val nests = mutable.TreeMap[String, JsonValue]()
+    // literal keyword keys seen in THIS object: the colliding-keywords check
+    // must fire when two KEYS expand to the same keyword ("rev" and
+    // "@reverse"), NOT when result["@reverse"] already exists because a
+    // reverse TERM accumulated values there — spec-compliant compaction
+    // emits a reverse term next to a residual aliased @reverse block
+    // (compact fixture c0052 round-trip caught the over-eager guard)
+    val literalKeywords = mutable.Set[String]()
     for ((key, value) <- element) {
       expandIri(activeContext, key, documentRelative = false, vocab = true) match {
         case None => // drop keys that could not be expanded
@@ -274,7 +281,7 @@ object Expansion {
         case Some(expandedProperty) =>
           if (Iri.isKeyword(expandedProperty)) {
             expandKeyword(result, nests, activeContext, typeScopedContext, activeProperty, key,
-              expandedProperty, value, baseUrl, inputType, state)
+              expandedProperty, value, baseUrl, inputType, state, literalKeywords)
           } else {
             val definition = activeContext.termDefinitions.get(key)
             val containerMapping = definition.map(_.containerMapping).getOrElse(Container.none)
@@ -499,11 +506,14 @@ object Expansion {
       value: JsonValue,
       baseUrl: Option[Url],
       inputType: Option[String],
-      state: ApiState
+      state: ApiState,
+      literalKeywords: mutable.Set[String]
   ): Unit = {
     val options = state.options
     val is10 = options.processingMode == ProcessingMode.JsonLd10
     if (activeProperty.contains("@reverse")) throw JsonLdError(InvalidReversePropertyMap)
+    // false when ANOTHER literal key already expanded to this keyword
+    val repeatedLiteral = !literalKeywords.add(expandedProperty)
     expandedProperty match {
       case "@type" =>
         if (is10 && result.contains(key)) throw JsonLdError(CollidingKeywords)
@@ -554,7 +564,9 @@ object Expansion {
             addValue(result, expandedProperty, o, asArray = true)
           case _ => throw JsonLdError(InvalidIncludedValue)
         }
-      case _ if result.contains(expandedProperty) => throw JsonLdError(CollidingKeywords)
+      case "@reverse" if repeatedLiteral => throw JsonLdError(CollidingKeywords)
+      case _ if expandedProperty != "@reverse" && result.contains(expandedProperty) =>
+        throw JsonLdError(CollidingKeywords)
       case "@id" =>
         result.put(expandedProperty, value match {
           case JStr(iri) =>

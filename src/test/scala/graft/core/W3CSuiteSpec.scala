@@ -199,6 +199,37 @@ class W3CSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("compact fixtures round-trip: expanding the compacted output reproduces the expanded input") {
+    // compaction against a context must be information-preserving modulo
+    // that context: expand(compact(expand(in), ctx)) == expand(in). The
+    // -out files embed their @context, so expanding them directly replays
+    // the full inverse path across every term-selection/container/scoped-
+    // context shape the suite covers. Two tiers: structural json_ld_eq
+    // where the representation is unique; canonical-quads equality where
+    // the spec legitimately changes shape (e.g. a multi-node @graph
+    // container compacts via @included — c0017 — which is the same GRAPH
+    // but not the same expanded document).
+    var quadTier = 0
+    for (id <- listCases(compactDir)
+         if !Files.exists(compactDir.resolve(s"$id-error.txt"))) {
+      val opts = optionsFor(compactDir, id, s"http://example.org/t/$id-in.jsonld")
+      val expandedIn = JsonLdApi.expand(
+        JsonLdInput.Doc(JsonParser.parse(readFile(compactDir.resolve(s"$id-in.jsonld")))), opts, loader)
+      val reExpanded =
+        try JsonLdApi.expand(
+          JsonLdInput.Doc(JsonParser.parse(readFile(compactDir.resolve(s"$id-out.jsonld")))), opts, loader)
+        catch { case e: JsonLdError => fail(s"fixture $id: re-expanding the compacted output threw: ${e.render}") }
+      if (!JsonEq.jsonLdEq(reExpanded, expandedIn, ordered = false)) {
+        quadTier += 1
+        val qIn = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(expandedIn, opts))
+        val qOut = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(reExpanded, opts))
+        assert(qIn == qOut,
+          s"fixture $id: compacted output diverges from the input even as RDF\nquads(in):\n$qIn\nquads(out):\n$qOut")
+      }
+    }
+    info(s"$quadTier fixture(s) round-trip at the canonical-quads tier (shape-changing but graph-preserving)")
+  }
+
   for (id <- listCases(compactDir)) {
     val errFile = compactDir.resolve(s"$id-error.txt")
     if (Files.exists(errFile)) {
