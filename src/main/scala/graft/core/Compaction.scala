@@ -53,13 +53,16 @@ object Compaction {
         }
         if (obj.contains("@value") || (obj.contains("@id") && obj.size == 1))
           return compactValue(activeContext, activeProperty, obj, options)
-        // faithful to reference if_chain (/root/reference/src/compact.rs:94-99):
-        // @list is removed before the container check
-        obj.removeKey("@list") match {
-          case Some(list) if defOf(activeContext, activeProperty).map(_.containerMapping).contains(Container.ListC) =>
-            return compactInternal(activeContext, activeProperty, list, state)
-          case _ =>
-        }
+        // reference if_chain (/root/reference/src/compact.rs:94-99): remove
+        // @list ONLY when the active term has a @list container. The
+        // previous formulation removed it unconditionally and discarded the
+        // value on the non-matching path — NESTED lists under a term
+        // without a list container compacted to {} (silent list-content
+        // loss; found by the cross-product sweep, in=c0040 ctx=c0001 —
+        // engine bug #8).
+        if (obj.contains("@list") &&
+            defOf(activeContext, activeProperty).map(_.containerMapping).contains(Container.ListC))
+          return compactInternal(activeContext, activeProperty, obj.removeKey("@list").get, state)
         obj.get("@type").foreach { expandedTypes =>
           // BTreeSet collect → lexicographic order (/root/reference/src/compact.rs:101-110)
           val compactedTypes = sortedStringSet(
@@ -166,6 +169,20 @@ object Compaction {
       case Some(o: JObj) => o
       case _ => val o = new JObj(); nestResult.put(key, o); o
     }
+    // Fallback-shaped items (a wrapped {@list} or {@graph,@id} map) must NOT
+    // ride a term whose MAP container (index/language/type/id map) would make
+    // expansion re-read the map as container entries — or collide with the
+    // real container map under the same key (a wrapped list merged INTO the
+    // index map, found by the cross-product sweep in=c0067 ctx=c0053).
+    // Documented data-preserving deviation: emit such items under the
+    // property's FULL IRI, a key with no term definition.
+    val mapContainer = container.isIndex || container.isLanguage || container.isType ||
+      (container.isId && !container.isGraph)
+    val fallbackProperty =
+      if (mapContainer)
+        activeContext.termDefinitions.get(itemActiveProperty).flatMap(_.iri)
+          .getOrElse(itemActiveProperty)
+      else itemActiveProperty
     expandedItem match {
       case itemObj: JObj =>
         itemObj.removeKey("@list") match {
@@ -182,28 +199,36 @@ object Compaction {
               itemObj.removeKey("@index").foreach { idx =>
                 obj.put(compactIri(activeContext, "@index", options, None, vocab = true, reverse = false), idx)
               }
-              addValue(nestResult, itemActiveProperty, obj, asArray)
+              addValue(nestResult, fallbackProperty, obj, asArray)
             }
           case None if isGraphObject(itemObj) =>
             val compactedItem = compactInternal(activeContext, Some(itemActiveProperty),
               itemObj.removeKey("@graph").get, state)
+            // a graph with MULTIPLE nodes cannot ride a map entry (or a
+            // simple container value) as a bare array: re-expansion wraps
+            // each array item in ITS OWN graph object, silently splitting
+            // one graph into n (cross-product sweep, in=c0017
+            // ctx=@graph+@id). Group them under @included — one (empty,
+            // RDF-invisible) wrapper node whose @included children stay in
+            // the SAME graph — exactly the shape the simple-@graph branch
+            // below has always produced (official-style fixture c0017).
+            def groupIncluded(ci: JsonValue): JsonValue = ci match {
+              case a: JArr if a.size > 1 => JObj("@included" -> a)
+              case other => other
+            }
             if (container.isGraph && container.isId) {
               val mapObject = mapObjectFor(itemActiveProperty)
               val id = itemObj.get("@id").map(_.asString.get)
               val mapKey = compactIri(activeContext, id.getOrElse("@none"), options, None,
                 vocab = id.isEmpty, reverse = false)
-              addValue(mapObject, mapKey, compactedItem, asArray)
+              addValue(mapObject, mapKey, groupIncluded(compactedItem), asArray)
             } else if (container.isGraph && !itemObj.contains("@id")) {
               if (container.isIndex) {
                 val mapObject = mapObjectFor(itemActiveProperty)
                 val mapKey = itemObj.get("@index").map(_.asString.get).getOrElse("@none")
-                addValue(mapObject, mapKey, compactedItem, asArray)
+                addValue(mapObject, mapKey, groupIncluded(compactedItem), asArray)
               } else {
-                val wrapped = compactedItem match {
-                  case a: JArr if a.size > 1 => JObj("@included" -> a)
-                  case other => other
-                }
-                addValue(nestResult, itemActiveProperty, wrapped, asArray)
+                addValue(nestResult, itemActiveProperty, groupIncluded(compactedItem), asArray)
               }
             } else {
               val obj = new JObj()
@@ -215,7 +240,17 @@ object Compaction {
               itemObj.removeKey("@index").foreach { idx =>
                 obj.put(compactIri(activeContext, "@index", options, None, vocab = true, reverse = false), idx)
               }
-              addValue(nestResult, itemActiveProperty, obj, asArray)
+              // A graph object that fell through to this {@graph, @id} map
+              // form must NOT ride a term whose MAP container would make
+              // expansion re-read the map as an index/language/type/id map —
+              // that silently splits a named graph into garbage index
+              // entries (found by the cross-product sweep: named graph under
+              // a ["@graph","@index"] term). The spec's own output for this
+              // corner is ambiguous and does not round-trip; documented
+              // data-preserving deviation: emit such items under the
+              // property's FULL IRI (a key with no term definition), which
+              // re-expands as a plain named-graph object.
+              addValue(nestResult, fallbackProperty, obj, asArray)
             }
           case None =>
             val compactedItem = compactInternal(activeContext, Some(itemActiveProperty), itemObj.deepCopy, state)

@@ -322,8 +322,17 @@ object Expansion {
                 }))
               }
               if (containerMapping.isGraph && !containerMapping.isId && !containerMapping.isIndex) {
-                def intoGraphObject(ev: JsonValue): JsonValue =
-                  JObj("@graph" -> (ev match { case a: JArr => a; case o => JArr(o) }))
+                // wrap only values that are NOT already graph objects (spec
+                // 13.8 "if ev is not a graph object") — the same guard the
+                // @graph+@index map path below has always had. Re-wrapping
+                // an explicit (possibly NAMED) graph object buried it inside
+                // a fresh anonymous graph, so compaction's named-graph-
+                // under-simple-@graph-container output did not round-trip
+                // (found by the cross-product sweep, in=c0016 ctx=c0017).
+                def intoGraphObject(ev: JsonValue): JsonValue = ev match {
+                  case o: JObj if isGraphObject(o) => o
+                  case _ => JObj("@graph" -> (ev match { case a: JArr => a; case o => JArr(o) }))
+                }
                 expandedValue = expandedValue match {
                   case arr: JArr => JArr.from(arr.iterator.map(intoGraphObject))
                   case other => intoGraphObject(other)

@@ -121,6 +121,25 @@ class W3CSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("flatten preserves the RDF graph on every positive expand fixture (canonical quads)") {
+    // flattening rearranges the tree into a node map and relabels blank
+    // nodes, but the GRAPH must be untouched: toRdf(flatten(in)) must equal
+    // toRdf(expand(in)) after canonical bnode labeling. Runs the flatten
+    // node-map machinery against every expansion shape the suite covers.
+    for (id <- listCases(expandDir)
+         if !Files.exists(expandDir.resolve(s"$id-error.txt"))) {
+      val opts = optionsFor(expandDir, id, s"http://example.org/t/$id-in.jsonld")
+      val input = () => JsonParser.parse(readFile(expandDir.resolve(s"$id-in.jsonld")))
+      val expanded = JsonLdApi.expand(JsonLdInput.Doc(input()), opts, loader)
+      val flattened = JsonLdApi.flatten(JsonLdInput.Doc(input()), None, opts, loader).asArr
+        .getOrElse(fail(s"fixture $id: flatten did not return an array"))
+      val qExpanded = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(expanded, opts))
+      val qFlattened = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(flattened, opts))
+      assert(qExpanded == qFlattened,
+        s"fixture $id: flatten changed the graph\nexpand:\n$qExpanded\nflatten:\n$qFlattened")
+    }
+  }
+
   // ---- flatten ----
   // flatten/<id>-{in,out}.jsonld [-context.jsonld] : expand(in), flatten,
   // optionally compact against the context (same shaping as the compact API)
@@ -159,6 +178,30 @@ class W3CSuiteSpec extends AnyFunSuite {
       val actual = JsonLdApi.fromRdf(dataset, opts)
       assert(JsonEq.jsonLdEq(actual, expected, ordered = false),
         s"\nexpected: ${JsonWriter.write(expected)}\nactual:   ${JsonWriter.write(actual)}")
+    }
+  }
+
+  test("toRdf of fromRdf is the identity on every toRdf fixture's expected quads") {
+    // the corpus-scale j06 gate, replayed over the suite's hand-derived
+    // .nq files (lists, typed literals, named graphs, unicode escapes):
+    // parsing the quads, serializing to JSON-LD, and converting back must
+    // reproduce the exact canonical dataset
+    for (id <- listCases(toRdfDir)) {
+      val quads = BnodeCanon.parseNQuads(readFile(toRdfDir.resolve(s"$id-out.nq")))
+      val opts = optionsFor(toRdfDir, id, s"http://example.org/t/$id-in.jsonld")
+      val back = ToRdf.toRdf(JsonLdApi.fromRdf(quads, opts), opts)
+      assert(BnodeCanon.toCanonicalNQuads(back) == BnodeCanon.toCanonicalNQuads(quads),
+        s"fixture $id: toRdf∘fromRdf is not the identity")
+    }
+  }
+
+  test("every frame fixture's output is itself expandable without error") {
+    // framed output embeds @context and preserve-null artifacts; a
+    // compliant processor must be able to consume it
+    for (id <- listCases(frameDir)) {
+      val out = JsonParser.parse(readFile(frameDir.resolve(s"$id-out.jsonld")))
+      val opts = optionsFor(frameDir, id, s"http://example.org/t/$id-in.jsonld")
+      JsonLdApi.expand(JsonLdInput.Doc(out), opts, loader) // must not throw
     }
   }
 
@@ -228,6 +271,38 @@ class W3CSuiteSpec extends AnyFunSuite {
       }
     }
     info(s"$quadTier fixture(s) round-trip at the canonical-quads tier (shape-changing but graph-preserving)")
+  }
+
+  test("cross-product sweep: compacting any fixture input under any fixture context preserves the graph") {
+    // fuzz-grade invariant: compaction is a re-REPRESENTATION — for ANY
+    // context, expand(compact(expand(in), ctx)) must describe the same RDF
+    // graph. Pairs every positive compact input with every fixture context
+    // (~4.5k combinations), comparing canonical quads.
+    val ids = listCases(compactDir).filter(id => !Files.exists(compactDir.resolve(s"$id-error.txt")))
+    var combos = 0
+    for (inId <- ids) {
+      val opts = optionsFor(compactDir, inId, s"http://example.org/t/$inId-in.jsonld")
+      val expandedIn = JsonLdApi.expand(
+        JsonLdInput.Doc(JsonParser.parse(readFile(compactDir.resolve(s"$inId-in.jsonld")))), opts, loader)
+      // toRdf CONSUMES its input (see ToRdf.toRdf) — quad it from a copy
+      val qIn = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(expandedIn.deepCopy.asArr.get, opts))
+      for (ctxId <- ids) {
+        combos += 1
+        val ctx = JsonParser.parse(readFile(compactDir.resolve(s"$ctxId-context.jsonld")))
+        val compacted =
+          try JsonLdApi.compactPreExpanded(expandedIn.deepCopy.asArr.get, Some(ctx), opts, loader)
+          catch { case e: JsonLdError =>
+            fail(s"in=$inId ctx=$ctxId: compaction threw ${e.render}") }
+        val re =
+          try JsonLdApi.expand(JsonLdInput.Doc(compacted), opts, loader)
+          catch { case e: JsonLdError =>
+            fail(s"in=$inId ctx=$ctxId: re-expansion threw ${e.render}\ncompacted: ${JsonWriter.write(compacted)}") }
+        val qRe = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(re, opts)) // re not reused
+        assert(qRe == qIn,
+          s"in=$inId ctx=$ctxId: graph changed through compaction\ncompacted: ${JsonWriter.write(compacted)}\nquads(in):\n$qIn\nquads(re):\n$qRe")
+      }
+    }
+    info(s"$combos (input, context) combinations graph-preserving")
   }
 
   for (id <- listCases(compactDir)) {
