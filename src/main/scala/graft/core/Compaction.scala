@@ -47,8 +47,16 @@ object Compaction {
         }
         var activeContext = defOf(reverted, activeProperty) match {
           case Some(td) if td.context.nonEmpty =>
+            // PROPERTY-scoped contexts PROPAGATE by default (the spec's
+            // propagate parameter defaults true; only TYPE-scoped contexts
+            // — the @type loop below — default false). Passing false here
+            // made a property-scoped context (e.g. "@context": null)
+            // evaporate at the next nested node object via the
+            // previousContext reversion, so nested keys compacted against
+            // the OUTER context and re-expanded differently (cross-product
+            // sweep 2, in=expand/t0069 ctx=c0065 — bug #10).
             ContextProcessor.processContext(reverted, td.context, td.baseUrl, state, mutable.Set(),
-              overrideProtected = true, propagate0 = false, validateScoped0 = true)
+              overrideProtected = true, propagate0 = true, validateScoped0 = true)
           case _ => reverted
         }
         if (obj.contains("@value") || (obj.contains("@id") && obj.size == 1))
@@ -549,9 +557,14 @@ object Compaction {
     if (!vocab) activeContext.baseIri match {
       case Some(baseIri) =>
         val resolved = Url.resolve(variable, Some(baseIri)).getOrElse(return variable)
+        // when the IRI cannot be made base-relative (different scheme or
+        // authority), return it VERBATIM — the parse-reserialize fallback
+        // normalized it (e.g. authority-only "http://a" gained a "/" path),
+        // silently renaming the RDF resource (cross-product sweep 2 caught
+        // it; RDF compares IRIs codepoint-wise, so http://a != http://a/)
         if (baseIri == resolved)
-          return baseIri.withDirPath.makeRelative(resolved).getOrElse(resolved.serialize)
-        return baseIri.makeRelative(resolved).getOrElse(resolved.serialize)
+          return baseIri.withDirPath.makeRelative(resolved).getOrElse(variable)
+        return baseIri.makeRelative(resolved).getOrElse(variable)
       case None =>
     }
     variable

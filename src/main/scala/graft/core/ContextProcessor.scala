@@ -496,8 +496,14 @@ object ContextProcessor {
             val m = typeLanguageMap(tl)
             if (!m.contains(entry)) m(entry) = key
           }
+          // the spec's step-3 if-chain is EXCLUSIVE: a reverse property
+          // registers ONLY under Type/@reverse. Falling through also put it
+          // under Type/@none and Language/@none, so term selection for a
+          // FORWARD property with only a reverse term picked the reverse
+          // term and silently FLIPPED THE EDGE DIRECTION on re-expansion
+          // (cross-product sweep 2, in=expand/t0067 ctx=c0052 — bug #9).
           if (value.reverseProperty) insert(TypeOrLanguage.Type, "@reverse")
-          value.typeMapping match {
+          else value.typeMapping match {
             case Some("@none") =>
               insert(TypeOrLanguage.Language, "@any")
               insert(TypeOrLanguage.Type, "@any")

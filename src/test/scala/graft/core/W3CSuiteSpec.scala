@@ -305,6 +305,72 @@ class W3CSuiteSpec extends AnyFunSuite {
     info(s"$combos (input, context) combinations graph-preserving")
   }
 
+  test("cross-product sweep 2: every positive EXPAND input stays graph-preserving under every compact context") {
+    // the same invariant over a much wilder input space: the expand suite's
+    // 160+ inputs (nests, reverses, graph containers, JSON literals,
+    // protected terms, language/index maps ...) × every compact-suite
+    // context (~10k combinations).
+    val ctxIds = listCases(compactDir).filter(id => !Files.exists(compactDir.resolve(s"$id-error.txt")))
+    val contexts = ctxIds.map(id => id -> JsonParser.parse(readFile(compactDir.resolve(s"$id-context.jsonld"))))
+    var combos = 0
+    var prefixConfusions = 0
+    var relativeSkips = 0
+    // inputs whose EXPANDED form carries relative IRIs (possible via
+    // "@base": null) are inherently base-sensitive: compacting against a
+    // context without that @base configuration legitimately changes how the
+    // relative reference resolves on re-expansion — skip them, counted
+    def hasRelativeIri(v: JsonValue): Boolean = v match {
+      case a: JArr => a.iterator.exists(hasRelativeIri)
+      case o: JObj => o.iterator.exists { case (k, vv) =>
+        (k == "@id" && vv.asString.exists(id => !id.contains(':'))) || hasRelativeIri(vv)
+      }
+      case _ => false
+    }
+    for (inId <- listCases(expandDir)
+         if !Files.exists(expandDir.resolve(s"$inId-error.txt"))) {
+      val opts = optionsFor(expandDir, inId, s"http://example.org/t/$inId-in.jsonld")
+      // 1.0-mode inputs legitimately REJECT the 1.1 contexts this sweep
+      // pairs them with (e.g. @type containers -> invalid container
+      // mapping) - not a data-preservation question
+      if (opts.processingMode == ProcessingMode.JsonLd10) { relativeSkips += 1 }
+      else {
+      val expandedIn = JsonLdApi.expand(
+        JsonLdInput.Doc(JsonParser.parse(readFile(expandDir.resolve(s"$inId-in.jsonld")))), opts, loader)
+      if (hasRelativeIri(expandedIn)) { relativeSkips += 1 }
+      else {
+      val qIn = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(expandedIn.deepCopy.asArr.get, opts))
+      for ((ctxId, ctx) <- contexts) {
+        combos += 1
+        val compactedOpt =
+          try Some(JsonLdApi.compactPreExpanded(expandedIn.deepCopy.asArr.get, Some(ctx.deepCopy), opts, loader))
+          catch {
+            // the ONE loud, spec-designed compaction failure: an absolute
+            // IRI in the data that would read as a compact IRI under this
+            // context (e.g. scheme "pre" colliding with prefix "pre") must
+            // throw rather than emit an ambiguous document — a legitimate
+            // outcome for the invariant ("graph preserved OR loud error,
+            // never silent corruption")
+            case e: JsonLdError if e.code == ErrorCode.IRIConfusedWithPrefix => None
+            case e: JsonLdError =>
+              fail(s"in=expand/$inId ctx=$ctxId: compaction threw ${e.render}")
+          }
+        val compacted = compactedOpt.getOrElse { prefixConfusions += 1; null }
+        if (compacted != null) {
+        val re =
+          try JsonLdApi.expand(JsonLdInput.Doc(compacted), opts, loader)
+          catch { case e: JsonLdError =>
+            fail(s"in=expand/$inId ctx=$ctxId: re-expansion threw ${e.render}\ncompacted: ${JsonWriter.write(compacted)}") }
+        val qRe = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(re, opts))
+        assert(qRe == qIn,
+          s"in=expand/$inId ctx=$ctxId: graph changed through compaction\ncompacted: ${JsonWriter.write(compacted)}\nquads(in):\n$qIn\nquads(re):\n$qRe")
+        }
+      }
+      }
+      }
+    }
+    info(s"$combos (expand input, context) combinations graph-preserving ($prefixConfusions loud prefix-confusion rejections; $relativeSkips base-sensitive or 1.0-mode inputs skipped)")
+  }
+
   for (id <- listCases(compactDir)) {
     val errFile = compactDir.resolve(s"$id-error.txt")
     if (Files.exists(errFile)) {
