@@ -77,7 +77,7 @@ object Bench {
     final case class ClusterProbeProc(proc: Process, out: java.io.BufferedReader, executors: Int,
         ready: java.util.concurrent.atomic.AtomicBoolean)
     val RepRe = """.*\[cluster-probe\] rep=\d+ .* sec=([0-9.]+) .*steal=([0-9.]+|NaN) execs=(\d+).*""".r
-    def startProbe(executors: Int): Option[ClusterProbeProc] = {
+    def startProbe(executors: Int, watchdogSec: Long): Option[ClusterProbeProc] = {
       val jar = new java.io.File("target/scala-2.13/jsonldrsspark_2.13-0.1.0.jar")
       if (!jar.exists()) return None
       val cmd = Seq("/opt/spark/bin/spark-submit",
@@ -106,13 +106,20 @@ object Bench {
         // startup watchdog from SPAWN time: a degraded window can stretch
         // even the minimal serve-mode warm (measured ready times: ~100-150 s
         // parallel in a calm window, 250 s+ degraded); a probe that is not
-        // ready in 300 s is killed so the run degrades to fewer probes
-        // instead of hanging past the driver budget with zero output
+        // ready in time is killed so the run degrades to a RESPAWN (below)
+        // or fewer probes instead of hanging past the driver budget with
+        // zero output
         val ready = new java.util.concurrent.atomic.AtomicBoolean(false)
         val killer = new Thread(() => {
-          val deadline = System.nanoTime() + 300L * 1000000000L
+          val deadline = System.nanoTime() + watchdogSec * 1000000000L
           while (!ready.get() && System.nanoTime() < deadline) Thread.sleep(500)
-          if (!ready.get()) p.destroyForcibly()
+          if (!ready.get()) {
+            // take the executor/worker descendants down too — orphaned
+            // executors from a killed first attempt would contend with the
+            // respawned probes
+            p.descendants().forEach(h => { h.destroyForcibly(); () })
+            p.destroyForcibly()
+          }
         })
         killer.setDaemon(true)
         killer.start()
@@ -126,6 +133,10 @@ object Bench {
       val tee = try new java.io.PrintWriter(
         new java.io.FileWriter(s"target/cluster_probe_${pr.executors}.log", false), true)
       catch { case scala.util.control.NonFatal(_) => null }
+      def killTree(): Unit = {
+        pr.proc.descendants().forEach(h => { h.destroyForcibly(); () })
+        pr.proc.destroyForcibly()
+      }
       try {
         val br = new java.io.BufferedReader(new java.io.InputStreamReader(pr.proc.getInputStream))
         var line = br.readLine()
@@ -135,9 +146,9 @@ object Bench {
         }
         if (tee != null && line != null) tee.println(line)
         pr.ready.set(true)
-        if (line == null) { pr.proc.destroyForcibly(); None }
+        if (line == null) { killTree(); None }
         else Some(pr.copy(out = br))
-      } catch { case scala.util.control.NonFatal(_) => pr.proc.destroyForcibly(); None }
+      } catch { case scala.util.control.NonFatal(_) => killTree(); None }
       finally if (tee != null) tee.close()
     }
     // one timed rep; NaN when the probe died, timed out, or ran with a short
@@ -339,8 +350,11 @@ object Bench {
     // minimal warm — overlapping them halves the serial cost in degraded
     // windows); startup is charged against the same budget: skip legs that
     // cannot pay for themselves AND still leave room to emit the JSON line
-    val handleN = if (mainElapsed < 320.0) startProbe(1) else None
-    val handle4 = if (handleN.isDefined) startProbe(4) else None
+    // first attempt gets 210 s (calm-window ready is 100-150 s); a failed
+    // probe gets ONE respawn below, so the watchdog no longer needs to
+    // cover the slow tail alone
+    val handleN = if (mainElapsed < 320.0) startProbe(1, 210L) else None
+    val handle4 = if (handleN.isDefined) startProbe(4, 210L) else None
     // await both CONCURRENTLY: a blocked await on one probe would let the
     // other's merged log output fill its 64 KB pipe and stall that JVM
     var probeN: Option[ClusterProbeProc] = None
@@ -351,6 +365,23 @@ object Bench {
       tN.start(); t4.start(); tN.join(); t4.join()
     }
     note(f"serve probes up n=${probeN.isDefined} 4n=${probe4.isDefined} t=$mainElapsed%.0fs")
+    // ONE respawn for probes that missed the first readiness window: the
+    // documented bad regime flips on SECONDS timescales (BENCH.md round 5),
+    // and a measured failure shape is a probe whose executors launch in
+    // ~30 s and then wedge — a fresh spawn in the next window usually comes
+    // straight up. Budget-capped so the worst case (respawn also fails at
+    // t≈230+150=380) leaves the same headline start time as the old single
+    // 300 s watchdog + round tail; never attempted late.
+    if ((probeN.isEmpty || probe4.isEmpty) && mainElapsed < 240.0) {
+      val cap = math.min(150L, (390.0 - mainElapsed).toLong)
+      note(f"respawning failed probes (n=${probeN.isEmpty} 4n=${probe4.isEmpty}) cap=${cap}s")
+      val hN = if (probeN.isEmpty) startProbe(1, cap) else None
+      val h4 = if (probe4.isEmpty) startProbe(4, cap) else None
+      val tN = new Thread(() => hN.foreach(h => probeN = awaitReady(Some(h))))
+      val t4 = new Thread(() => h4.foreach(h => probe4 = awaitReady(Some(h))))
+      tN.start(); t4.start(); tN.join(); t4.join()
+      note(f"serve probes up n=${probeN.isDefined} 4n=${probe4.isDefined} t=$mainElapsed%.0fs (after respawn)")
+    }
     var rounds = Vector.empty[ScalingRound]
     var worstRoundSecs = 0.0
     (probeN, probe4) match {

@@ -44,13 +44,23 @@ object Framing {
     for ((_, g) <- graphMap; (id, node) <- g) {
       val tgt = merged.getOrElseUpdate(id, JObj("@id" -> JStr(id)))
       for ((k, v) <- node.iterator if k != "@id") {
-        val existing = tgt.get(k) match {
-          case Some(a: JArr) => a
-          case _ => val a = new JArr(); tgt.put(k, a); a
+        v match {
+          case arr: JArr =>
+            val existing = tgt.get(k) match {
+              case Some(a: JArr) => a
+              case _ => val a = new JArr(); tgt.put(k, a); a
+            }
+            arr.iterator.foreach { item =>
+              if (!existing.iterator.exists(e => JsonEq.jsonLdEq(e, item))) existing.push(item.deepCopy)
+            }
+          case scalar =>
+            // node-map entries that are NOT arrays (@index is the one the
+            // node map produces): keep the value as-is, first graph wins.
+            // The array-assuming merge used to replace "@index": "en" with
+            // an empty [], emitting un-expandable framed output (bug #11,
+            // caught by the frame cross-product sweep).
+            if (!tgt.contains(k)) tgt.put(k, scalar.deepCopy)
         }
-        v.asArr.foreach(_.foreach { item =>
-          if (!existing.iterator.exists(e => JsonEq.jsonLdEq(e, item))) existing.push(item.deepCopy)
-        })
       }
     }
     graphMap.put("@merged", merged)

@@ -195,6 +195,196 @@ class W3CSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("sweep 3: fromRdf∘toRdf round-trips under the full options grid (identity / convergence)") {
+    // the identity test above runs each dataset only under its OWN fixture
+    // options; this sweep replays every toRdf expected output AND every
+    // positive fromRdf input under all 12 combinations of
+    // useNativeTypes × useRdfType × rdfDirection. Invariants:
+    //  - useNativeTypes=false: toRdf∘fromRdf is the IDENTITY (no combo may
+    //    lose or rewrite a single quad — rdf:type goes through @type or a
+    //    plain property, i18n/compound direction literals survive whether
+    //    or not the deserializer understands them, generalized-RDF bnode
+    //    predicates and ill-formed lists pass through verbatim)
+    //  - useNativeTypes=true: native conversion legitimately rewrites
+    //    lexical forms (canonical "1.0E0"^^xsd:double → native 1 →
+    //    "1"^^xsd:integer), so identity is replaced by CONVERGENCE: a
+    //    second round trip must be a fixpoint (loss would also converge,
+    //    which is why the unt=false identity leg carries the loss check)
+    val grid = for {
+      unt <- Seq(false, true)
+      urt <- Seq(false, true)
+      dir <- Seq(None, Some("i18n-datatype"), Some("compound-literal"))
+    } yield (unt, urt, dir)
+    val datasets =
+      listCases(toRdfDir).map(id => s"toRdf/$id" ->
+        (() => (BnodeCanon.parseNQuads(readFile(toRdfDir.resolve(s"$id-out.nq"))),
+                optionsFor(toRdfDir, id, s"http://example.org/t/$id-in.jsonld")))) ++
+      listCases(fromRdfDir, suffix = "-in.nq")
+        .filter(id => !Files.exists(fromRdfDir.resolve(s"$id-error.txt")))
+        .map(id => s"fromRdf/$id" ->
+        (() => (BnodeCanon.parseNQuads(readFile(fromRdfDir.resolve(s"$id-in.nq"))),
+                optionsFor(fromRdfDir, id, s"http://example.org/t/$id-in.nq"))))
+    var combos = 0
+    for ((label, load) <- datasets) {
+      val (quads, baseOpts) = load()
+      val qIn = BnodeCanon.toCanonicalNQuads(quads)
+      for ((unt, urt, dir) <- grid) {
+        combos += 1
+        val opts = baseOpts.copy(useNativeTypes = unt, useRdfType = urt, rdfDirection = dir)
+        val q1 = ToRdf.toRdf(JsonLdApi.fromRdf(quads, opts), opts)
+        val c1 = BnodeCanon.toCanonicalNQuads(q1)
+        if (!unt)
+          assert(c1 == qIn,
+            s"$label unt=$unt urt=$urt dir=$dir: round trip changed the dataset\nin:\n$qIn\nout:\n$c1")
+        else {
+          val q2 = ToRdf.toRdf(JsonLdApi.fromRdf(q1, opts), opts)
+          val c2 = BnodeCanon.toCanonicalNQuads(q2)
+          assert(c2 == c1,
+            s"$label unt=$unt urt=$urt dir=$dir: round trip is not convergent\ntrip1:\n$c1\ntrip2:\n$c2")
+        }
+      }
+    }
+    info(s"$combos (dataset, options) combinations round-trip")
+  }
+
+  test("sweep 4: wildcard framing preserves the merged graph on every fixture input, under all @embed modes") {
+    // framing runs over the MERGED node map (Framing.frame: frameDefault
+    // =false), and the empty frame is the universal wildcard — every node
+    // matches, nothing is filtered, no @default invents values. So for ANY
+    // input and ANY @embed mode the framed output must describe exactly the
+    // union of the input's per-graph triples:
+    //   quads(expand(frame(in, {@embed: m}))) | graph-stripped, deduped
+    //     == quads(expand(in))                | graph-stripped, deduped
+    // @once/@always only move WHERE a node is spelled out (embedded once /
+    // duplicated) — never which statements exist. @never is deliberately
+    // NOT in this grid: the spec reduces even top-level matches to bare
+    // node references (pinned by fr0016), so data drops BY DESIGN there —
+    // its no-invention side is covered by sweep 5's fixture frames.
+    // Runs every positive expand input + every frame input + every positive
+    // compact input (the suite's full shape zoo) through the framing
+    // machinery x 2 embed modes.
+    def mergedCanonical(ts: Vector[Triple]): String =
+      BnodeCanon.toCanonicalNQuads(ts.map(_.copy(graph = "")).distinct)
+    val inputs: Vector[(String, Path, String)] =
+      listCases(expandDir).filter(id => !Files.exists(expandDir.resolve(s"$id-error.txt")))
+        .map(id => (s"expand/$id", expandDir, id)) ++
+      listCases(frameDir).map(id => (s"frame/$id", frameDir, id)) ++
+      listCases(compactDir).filter(id => !Files.exists(compactDir.resolve(s"$id-error.txt")))
+        .map(id => (s"compact/$id", compactDir, id))
+    def hasRelativeIri(v: JsonValue): Boolean = v match {
+      case a: JArr => a.iterator.exists(hasRelativeIri)
+      case o: JObj => o.iterator.exists { case (k, vv) =>
+        (k == "@id" && vv.asString.exists(id => !id.contains(':'))) || hasRelativeIri(vv)
+      }
+      case _ => false
+    }
+    var combos = 0
+    var skips = 0
+    for ((label, dir, id) <- inputs) {
+      val opts = optionsFor(dir, id, s"http://example.org/t/$id-in.jsonld")
+      // 1.0-mode docs exercise constructs framing (a 1.1 spec) rejects;
+      // relative-IRI expansions are dropped by toRdf on the input side but
+      // re-resolved against base on the output side — both skipped, counted
+      if (opts.processingMode == ProcessingMode.JsonLd10) skips += 1
+      else {
+        val expandedIn = JsonLdApi.expand(
+          JsonLdInput.Doc(JsonParser.parse(readFile(dir.resolve(s"$id-in.jsonld")))), opts, loader)
+        if (hasRelativeIri(expandedIn)) skips += 1
+        else {
+          val qIn = mergedCanonical(ToRdf.toRdf(expandedIn.deepCopy.asArr.get, opts))
+          for (embed <- Seq("@once", "@always")) {
+            combos += 1
+            val framed =
+              try JsonLdApi.frame(JsonLdInput.Doc(expandedIn.deepCopy),
+                JObj("@embed" -> JStr(embed)), opts, loader)
+              catch { case e: JsonLdError =>
+                fail(s"$label embed=$embed: framing threw ${e.render}") }
+            val re =
+              try JsonLdApi.expand(JsonLdInput.Doc(framed), opts, loader)
+              catch { case e: JsonLdError =>
+                fail(s"$label embed=$embed: re-expansion threw ${e.render}\nframed: ${JsonWriter.write(framed)}") }
+            val qOut = mergedCanonical(ToRdf.toRdf(re, opts))
+            assert(qOut == qIn,
+              s"$label embed=$embed: wildcard framing changed the merged graph\nframed: ${JsonWriter.write(framed)}\nquads(in):\n$qIn\nquads(framed):\n$qOut")
+          }
+        }
+      }
+    }
+    info(s"$combos (input, embed) combinations merged-graph-preserving ($skips 1.0-mode or base-sensitive inputs skipped)")
+  }
+
+  test("sweep 5: framing any input against any fixture frame is total, expandable, and never invents ground statements") {
+    // cross-product robustness + soundness over every (input, frame) pair
+    // the suite knows (frame inputs + every positive expand input, x every
+    // fixture frame — most pairs are "wrong" frames for the doc, exactly
+    // the shapes a targeted fixture never tries):
+    //  - frame() must complete (any failure is a crash bug: framing has no
+    //    spec-defined input-dependent errors outside frame validation)
+    //  - the framed output must itself be expandable
+    //  - framing SELECTS and RESHAPES — it must never fabricate data: when
+    //    the frame declares no @default anywhere, every GROUND quad (no
+    //    bnode in any position) of the framed output must already be a
+    //    quad of the input's merged graph. (@default legitimately adds
+    //    values; bnode quads are excluded because relabeling breaks
+    //    per-quad set comparison.)
+    def hasDefault(v: JsonValue): Boolean = v match {
+      case o: JObj => o.iterator.exists { case (k, vv) => k == "@default" || hasDefault(vv) }
+      case a: JArr => a.iterator.exists(hasDefault)
+      case _ => false
+    }
+    def groundQuads(ts: Vector[Triple]): Set[Triple] =
+      ts.map(_.copy(graph = ""))
+        .filter(t => !t.subj.startsWith("_:") && !t.pred.startsWith("_:") && t.objKind != "bnode")
+        .toSet
+    def hasRelIri(v: JsonValue): Boolean = v match {
+      case a: JArr => a.iterator.exists(hasRelIri)
+      case o: JObj => o.iterator.exists { case (k, vv) =>
+        (k == "@id" && vv.asString.exists(id => !id.contains(':'))) || hasRelIri(vv)
+      }
+      case _ => false
+    }
+    val frames = listCases(frameDir).map { id =>
+      val f = JsonParser.parse(readFile(frameDir.resolve(s"$id-frame.jsonld")))
+      (id, f, hasDefault(f))
+    }
+    val inputs: Vector[(String, Path, String)] =
+      listCases(frameDir).map(id => (s"frame/$id", frameDir, id)) ++
+      listCases(expandDir).filter(id => !Files.exists(expandDir.resolve(s"$id-error.txt")))
+        .map(id => (s"expand/$id", expandDir, id))
+    var combos = 0
+    var skips = 0
+    for ((label, dir, id) <- inputs) {
+      val opts = optionsFor(dir, id, s"http://example.org/t/$id-in.jsonld")
+      if (opts.processingMode == ProcessingMode.JsonLd10) skips += 1
+      else {
+        val expandedIn = JsonLdApi.expand(
+          JsonLdInput.Doc(JsonParser.parse(readFile(dir.resolve(s"$id-in.jsonld")))), opts, loader)
+        if (hasRelIri(expandedIn)) skips += 1
+        else {
+          val qIn = groundQuads(ToRdf.toRdf(expandedIn.deepCopy.asArr.get, opts))
+          for ((frId, frameDoc, frDefault) <- frames) {
+            combos += 1
+            val framed =
+              try JsonLdApi.frame(JsonLdInput.Doc(expandedIn.deepCopy), frameDoc.deepCopy, opts, loader)
+              catch { case e: JsonLdError =>
+                fail(s"in=$label frame=$frId: framing threw ${e.render}") }
+            val re =
+              try JsonLdApi.expand(JsonLdInput.Doc(framed), opts, loader)
+              catch { case e: JsonLdError =>
+                fail(s"in=$label frame=$frId: re-expansion threw ${e.render}\nframed: ${JsonWriter.write(framed)}") }
+            if (!frDefault) {
+              val qOut = groundQuads(ToRdf.toRdf(re, opts))
+              val invented = qOut -- qIn
+              assert(invented.isEmpty,
+                s"in=$label frame=$frId: framing INVENTED ground statements\n${invented.mkString("\n")}\nframed: ${JsonWriter.write(framed)}")
+            }
+          }
+        }
+      }
+    }
+    info(s"$combos (input, frame) combinations total+sound ($skips 1.0-mode or base-sensitive inputs skipped)")
+  }
+
   test("every frame fixture's output is itself expandable without error") {
     // framed output embeds @context and preserve-null artifacts; a
     // compliant processor must be able to consume it
