@@ -186,8 +186,14 @@ object Compaction {
     // property's FULL IRI, a key with no term definition.
     val mapContainer = container.isIndex || container.isLanguage || container.isType ||
       (container.isId && !container.isGraph)
+    // a @json-typed term literalizes its ENTIRE raw value on re-expansion
+    // (Expansion's @json short-circuit runs before list/node/value
+    // handling), so only a lone raw JSON literal may ride the term key —
+    // everything else must take the full-IRI fallback below (bug #12)
+    val jsonType = activeContext.termDefinitions.get(itemActiveProperty)
+      .flatMap(_.typeMapping).contains("@json")
     val fallbackProperty =
-      if (mapContainer)
+      if (mapContainer || jsonType)
         activeContext.termDefinitions.get(itemActiveProperty).flatMap(_.iri)
           .getOrElse(itemActiveProperty)
       else itemActiveProperty
@@ -262,11 +268,41 @@ object Compaction {
             }
           case None =>
             val compactedItem = compactInternal(activeContext, Some(itemActiveProperty), itemObj.deepCopy, state)
+            if (jsonType) {
+              val isJsonLiteral = itemObj.contains("@value") && (itemObj.get("@type") match {
+                case Some(JStr(s)) => s == "@json"
+                case Some(a: JArr) => a.size == 1 && a(0) == JStr("@json")
+                case _ => false
+              })
+              if (isJsonLiteral && !nestResult.contains(itemActiveProperty)) {
+                // the one safe shape: a lone raw JSON literal, placed
+                // directly — addValue's array splice and the
+                // compactArrays=false wrap both CHANGE the literal, since
+                // re-expansion reads the term's whole raw value as one
+                // literal (array-valued and empty-array literals included)
+                nestResult.put(itemActiveProperty, compactedItem)
+              } else {
+                // second literal on the key, or a node object: the term key
+                // would literalize it — emit under the property's full IRI
+                // (no term definition there); literals keep an explicit
+                // {@value, @type: @json} form so the type survives
+                val item =
+                  if (isJsonLiteral)
+                    JObj("@value" -> itemObj.get("@value").get.deepCopy, "@type" -> JStr("@json"))
+                  else compactedItem
+                addValue(nestResult, fallbackProperty, item, asArray)
+              }
+            } else
             compactNodeOrSet(activeContext, itemActiveProperty, nestResult, itemObj, compactedItem,
               container, state, asArray)
         }
       case other =>
         val compactedItem = compactInternal(activeContext, Some(itemActiveProperty), other, state)
+        if (jsonType)
+          // a bare scalar under a @json-typed term would re-expand as a
+          // JSON literal instead of a plain value — full-IRI fallback
+          addValue(nestResult, fallbackProperty, compactedItem, asArray)
+        else
         compactNodeOrSet(activeContext, itemActiveProperty, nestResult, other, compactedItem,
           container, state, asArray)
     }
@@ -598,7 +634,12 @@ object Compaction {
             if (typeMapping.contains(ty)) out = value.removeKey("@value").get
             else value.put("@type", JStr(compactIri(activeContext, ty, options, None, vocab = true, reverse = false)))
           case None =>
-            if (!typeMapping.contains("@none") &&
+            // under a @json-typed term the ENTIRE raw term value re-expands
+            // as one JSON literal (Expansion.scala @json short-circuit), so
+            // a plain value must KEEP its explicit {"@value": ...} form —
+            // compactItem routes it off the term key (bug #12 family,
+            // caught by the compactArrays=false sweep leg)
+            if (!typeMapping.contains("@none") && !typeMapping.contains("@json") &&
                 (!value.contains("@index") || termDefinition.exists(_.containerMapping.isIndex))) {
               val language = termDefinition.flatMap(_.languageMapping).getOrElse(activeContext.defaultLanguage)
               val direction = termDefinition.flatMap(_.directionMapping)

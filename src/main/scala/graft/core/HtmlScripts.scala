@@ -33,12 +33,30 @@ object HtmlScripts {
   final case class Script(attrs: Map[String, String], content: String)
 
   /** All `<script>` elements (any type), document order. */
-  def scripts(html: String): Vector[Script] = {
+  def scripts(html: String): Vector[Script] = tags(html, "script")
+
+  /** The first `<base href>` in the markup (outside comments), resolved by
+    * the caller against the document URL — the HTML "fallback base URL"
+    * rule the JSON-LD 1.1 API's HTML content algorithms require when
+    * establishing the base IRI of an HTML-carried document. A real parser
+    * honors only the first `base` element with an `href`, anywhere a
+    * document-order scan finds it (same lexer-grade approximation as the
+    * script scanner).
+    */
+  def baseHref(html: String): Option[String] =
+    tags(html, "base").collectFirst { case t if t.attrs.contains("href") => t.attrs("href") }
+
+  /** `<name ...>` elements in document order. Script elements consume their
+    * raw-text content through the first `</script`; other elements are
+    * attribute-only (content empty).
+    */
+  private def tags(html: String, name: String): Vector[Script] = {
     val out = Vector.newBuilder[Script]
+    val needle = "<" + name
     val n = html.length
     var i = 0
     while (i < n) {
-      val open = indexOfIgnoreCase(html, "<script", i)
+      val open = indexOfIgnoreCase(html, needle, i)
       if (open < 0) return out.result()
       // skip `<!-- … -->` spans: commented-out markup is never instantiated
       // as an element by a real HTML parser, so a script inside a comment
@@ -57,7 +75,7 @@ object HtmlScripts {
         val commentEnd = html.indexOf("-->", comment + 2)
         i = if (commentEnd < 0) n else commentEnd + 3
       } else {
-      val afterTag = open + 7
+      val afterTag = open + needle.length
       // must be a real tag: "<script>" or "<script ..." (not "<scriptx")
       if (afterTag < n && (html.charAt(afterTag) == '>' || html.charAt(afterTag).isWhitespace || html.charAt(afterTag) == '/')) {
         var j = afterTag
@@ -93,11 +111,16 @@ object HtmlScripts {
           }
         }
         if (gtPos < 0) return out.result()
-        val close = indexOfIgnoreCase(html, "</script", gtPos + 1)
-        val contentEnd = if (close < 0) n else close
-        out += Script(attrs.result(), html.substring(gtPos + 1, contentEnd))
-        val closeGt = if (close < 0) n else html.indexOf('>', close)
-        i = if (closeGt < 0) n else closeGt + 1
+        if (name == "script") {
+          val close = indexOfIgnoreCase(html, "</script", gtPos + 1)
+          val contentEnd = if (close < 0) n else close
+          out += Script(attrs.result(), html.substring(gtPos + 1, contentEnd))
+          val closeGt = if (close < 0) n else html.indexOf('>', close)
+          i = if (closeGt < 0) n else closeGt + 1
+        } else {
+          out += Script(attrs.result(), "")
+          i = gtPos + 1
+        }
       } else i = afterTag
       }
     }

@@ -34,17 +34,38 @@ object JsonLdApi {
       case JsonLdInput.Ref(iri) => JsonLdInput.Remote(state.loader.load(iri))
       case other => other
     }
+    // HTML inputs are pre-extracted HERE, not in the Remote branch below:
+    // a <base href> element must participate in the active context's base
+    // IRI — the thing relative @ids resolve against (W3C HTML content
+    // algorithms; the reference has no HTML path). The JSON-LD payload
+    // lives in <script type="application/ld+json"> elements.
+    val htmlPre: Option[(JsonValue, Url)] = input match {
+      case JsonLdInput.Remote(doc)
+          if doc.contentType == "text/html" || doc.contentType == "application/xhtml+xml" =>
+        val htmlText = doc.document.asString.getOrElse(
+          throw JsonLdError(LoadingDocumentFailed, "HTML document must be raw text"))
+        val frag = {
+          val h = doc.documentUrl.indexOf('#')
+          if (h >= 0 && h + 1 < doc.documentUrl.length) Some(doc.documentUrl.substring(h + 1)) else None
+        }
+        val fromUrl = parseBase(doc.documentUrl)
+        val base = HtmlScripts.baseHref(htmlText)
+          .flatMap(href => Url.resolve(href, Some(fromUrl)))
+          .getOrElse(fromUrl)
+        Some((HtmlScripts.extract(htmlText, frag, options.extractAllScripts), base))
+      case _ => None
+    }
     // base and originalBase are usually the same string (options.base on a
     // Doc input — the per-span pipeline case); parse it once
     val baseStr = options.base match {
       case Some(b) => Some(b)
       case None => input match {
-        case JsonLdInput.Remote(doc) => Some(doc.documentUrl)
+        case JsonLdInput.Remote(doc) => Some(htmlPre.fold(doc.documentUrl)(_._2.serialize))
         case _ => None
       }
     }
     val origStr = input match {
-      case JsonLdInput.Remote(doc) => Some(doc.documentUrl)
+      case JsonLdInput.Remote(doc) => Some(htmlPre.fold(doc.documentUrl)(_._2.serialize))
       case _ => options.base
     }
     val baseParsed = baseStr.map(parseBase)
@@ -73,20 +94,12 @@ object JsonLdApi {
             Some(parseBase(contextUrl)), state, mutable.Set(),
             overrideProtected = false, propagate0 = true, validateScoped0 = true)
         }
-        val documentUrl = parseBase(document.documentUrl)
-        // HTML documents carry their markup as a raw-text JStr; the JSON-LD
-        // payload lives in <script type="application/ld+json"> elements
-        // (W3C HTML content algorithms — the reference has no HTML path)
-        val docJson =
-          if (document.contentType == "text/html" || document.contentType == "application/xhtml+xml") {
-            val htmlText = document.document.asString.getOrElse(
-              throw JsonLdError(LoadingDocumentFailed, "HTML document must be raw text"))
-            val frag = {
-              val h = document.documentUrl.indexOf('#')
-              if (h >= 0 && h + 1 < document.documentUrl.length) Some(document.documentUrl.substring(h + 1)) else None
-            }
-            HtmlScripts.extract(htmlText, frag, options.extractAllScripts)
-          } else document.document
+        // htmlPre (above) already extracted HTML payloads and their
+        // <base href>-adjusted base
+        val (docJson, documentUrl) = htmlPre match {
+          case Some((json, base)) => (json, base)
+          case None => (document.document, parseBase(document.documentUrl))
+        }
         Expansion.expandInternal(activeContext, None, docJson, Some(documentUrl), state, fromMap = false)
       case JsonLdInput.Doc(json) =>
         val documentUrl = options.base.map(parseBase)

@@ -187,4 +187,42 @@ class HtmlScriptsSpec extends AnyFunSuite {
     val ids = out.iterator.flatMap(_.asObj).flatMap(_.get("@id")).toSet
     assert(ids == Set[JsonValue](JStr("http://n/2"), JStr("http://n/3")))
   }
+
+  test("baseHref: first base with href wins; commented-out and href-less base elements are ignored") {
+    assert(HtmlScripts.baseHref("""<head><base href="http://b.example/dir/"></head>""")
+      == Some("http://b.example/dir/"))
+    assert(HtmlScripts.baseHref("""<BASE HREF='rel/dir/'>""") == Some("rel/dir/"))
+    assert(HtmlScripts.baseHref("""<base target="_top"><base href="http://second/">""")
+      == Some("http://second/"))
+    assert(HtmlScripts.baseHref("""<!-- <base href="http://no/"> --><base href="http://yes/">""")
+      == Some("http://yes/"))
+    assert(HtmlScripts.baseHref("""<basefont size=3><p>no base here</p>""").isEmpty)
+    assert(HtmlScripts.baseHref("no markup at all").isEmpty)
+  }
+
+  test("expand API on text/html honors <base href> when resolving relative IRIs (HTML fallback base URL)") {
+    // absolute base href replaces the document URL wholesale
+    val absPage =
+      """<head><base href="http://kb.example/data/"></head>
+        |<script type="application/ld+json">{"@id": "item1", "http://v/name": "n"}</script>""".stripMargin
+    val absOut = JsonLdApi.expand(JsonLdInput.Remote(RemoteDocument(
+      contentType = "text/html", contextUrl = None,
+      document = JStr(absPage), documentUrl = "http://example.org/page.html")), JsonLdOptions())
+    assert(absOut(0).asObj.get.get("@id").contains(JStr("http://kb.example/data/item1")))
+    // relative base href resolves against the document URL first
+    val relPage =
+      """<base href="sub/">
+        |<script type="application/ld+json">{"@id": "item2", "http://v/name": "n"}</script>""".stripMargin
+    val relOut = JsonLdApi.expand(JsonLdInput.Remote(RemoteDocument(
+      contentType = "text/html", contextUrl = None,
+      document = JStr(relPage), documentUrl = "http://example.org/dir/page.html")), JsonLdOptions())
+    assert(relOut(0).asObj.get.get("@id").contains(JStr("http://example.org/dir/sub/item2")))
+    // no base element: document URL stays the base
+    val nonePage =
+      """<script type="application/ld+json">{"@id": "item3", "http://v/name": "n"}</script>"""
+    val noneOut = JsonLdApi.expand(JsonLdInput.Remote(RemoteDocument(
+      contentType = "text/html", contextUrl = None,
+      document = JStr(nonePage), documentUrl = "http://example.org/dir/page.html")), JsonLdOptions())
+    assert(noneOut(0).asObj.get.get("@id").contains(JStr("http://example.org/dir/item3")))
+  }
 }

@@ -490,6 +490,30 @@ class W3CSuiteSpec extends AnyFunSuite {
         val qRe = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(re, opts)) // re not reused
         assert(qRe == qIn,
           s"in=$inId ctx=$ctxId: graph changed through compaction\ncompacted: ${JsonWriter.write(compacted)}\nquads(in):\n$qIn\nquads(re):\n$qRe")
+        // leg 2: compactArrays=false exercises the always-array emit paths
+        // (and the kept @graph wrapper) — the graph must still be untouched
+        val optsNA = opts.copy(compactArrays = false)
+        val compactedNA =
+          try JsonLdApi.compactPreExpanded(expandedIn.deepCopy.asArr.get, Some(ctx.deepCopy), optsNA, loader)
+          catch { case e: JsonLdError =>
+            fail(s"in=$inId ctx=$ctxId compactArrays=false: compaction threw ${e.render}") }
+        val reNA =
+          try JsonLdApi.expand(JsonLdInput.Doc(compactedNA), optsNA, loader)
+          catch { case e: JsonLdError =>
+            fail(s"in=$inId ctx=$ctxId compactArrays=false: re-expansion threw ${e.render}\ncompacted: ${JsonWriter.write(compactedNA)}") }
+        val qNA = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(reNA, optsNA))
+        assert(qNA == qIn,
+          s"in=$inId ctx=$ctxId compactArrays=false: graph changed through compaction\ncompacted: ${JsonWriter.write(compactedNA)}\nquads(in):\n$qIn\nquads(re):\n$qNA")
+        // leg 3: `ordered` fixes map-entry PROCESSING order only — it must
+        // never change the compacted RESULT (mirror of the ordered-expansion
+        // sweep; any divergence is insertion-order-dependent semantics)
+        val compactedOrd =
+          try JsonLdApi.compactPreExpanded(expandedIn.deepCopy.asArr.get, Some(ctx.deepCopy),
+            opts.copy(ordered = true), loader)
+          catch { case e: JsonLdError =>
+            fail(s"in=$inId ctx=$ctxId ordered=true: compaction threw ${e.render}") }
+        assert(JsonEq.jsonLdEq(compactedOrd, compacted, ordered = false),
+          s"in=$inId ctx=$ctxId: ordered compaction changed the RESULT, not just its order\nordered:   ${JsonWriter.write(compactedOrd)}\nunordered: ${JsonWriter.write(compacted)}")
       }
     }
     info(s"$combos (input, context) combinations graph-preserving")
