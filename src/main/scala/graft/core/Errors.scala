@@ -50,6 +50,10 @@ object ErrorCode extends Enumeration {
   val InvalidValueObjectValue = Code("invalid value object value")
   val InvalidVersionValue = Code("invalid @version value")
   val InvalidVocabMapping = Code("invalid vocab mapping")
+  // W3C JSON-LD 1.1 Framing spec error (JsonLdFramingError) — the reference
+  // defines no framing codes (framing is its commented-out stub); rendered
+  // in the same style as the API codes above
+  val InvalidEmbedValue = Code("invalid @embed value")
   val IRIConfusedWithPrefix = Code("IRI confused with prefix")
   val KeywordRedefinition = Code("keyword redefinition")
   val LoadingDocumentFailed = Code("loading document failed")

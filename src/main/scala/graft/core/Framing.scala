@@ -68,7 +68,7 @@ object Framing {
     val state = new State(graphMap, "@merged")
     val frameObj = if (expandedFrame.nonEmpty) expandedFrame(0).asObj.getOrElse(new JObj()) else new JObj()
     val defaults = Flags(
-      embed = getFlagStr(frameObj, "@embed", "@once"),
+      embed = getEmbed(frameObj, "@once"),
       explicit = getFlagBool(frameObj, "@explicit", default = false),
       requireAll = getFlagBool(frameObj, "@requireAll", default = false),
       omitDefault = getFlagBool(frameObj, "@omitDefault", default = false))
@@ -106,7 +106,7 @@ object Framing {
       inherited: Flags
   ): Unit = {
     val flags = Flags(
-      embed = getFlagStr(frame, "@embed", inherited.embed),
+      embed = getEmbed(frame, inherited.embed),
       explicit = getFlagBool(frame, "@explicit", inherited.explicit),
       requireAll = getFlagBool(frame, "@requireAll", inherited.requireAll),
       omitDefault = getFlagBool(frame, "@omitDefault", inherited.omitDefault))
@@ -317,16 +317,32 @@ object Framing {
   private def implicitFrame(flags: Flags): JObj =
     JObj("@embed" -> JArr(JStr(flags.embed)))
 
-  private def getFlagStr(frame: JObj, key: String, default: String): String =
-    frame.get(key).map(asValues).flatMap(_.headOption).flatMap {
-      case JStr(s) => Some(s)
-      case o: JObj => o.get("@value").flatMap(_.asString)
-      case _ => None
-    }.map {
-      // legacy embed values normalize per the 1.1 spec
-      case "@first" | "@last" => "@once"
-      case x => x
-    }.getOrElse(default)
+  /** `@embed` flag with spec validation (Framing spec: any value outside
+    * the keyword set — including the legacy `@first`/`@last` strings and
+    * boolean forms — is the `invalid @embed value` error, not a silent
+    * default).
+    */
+  private def getEmbed(frame: JObj, default: String): String =
+    frame.get("@embed").map(asValues).flatMap(_.headOption) match {
+      case None => default
+      case Some(raw) =>
+        val str = raw match {
+          case JStr(s) => Some(JStr(s): JsonValue)
+          case JBool(b) => Some(JBool(b): JsonValue)
+          case o: JObj => o.get("@value")
+          case _ => None
+        }
+        str match {
+          case Some(JStr(s)) => s match {
+            case "@once" | "@always" | "@never" => s
+            case "@first" | "@last" => "@once" // legacy 1.0 values
+            case other => throw JsonLdError(ErrorCode.InvalidEmbedValue, other)
+          }
+          case Some(JBool(true)) => "@once" // legacy boolean forms
+          case Some(JBool(false)) => "@never"
+          case _ => throw JsonLdError(ErrorCode.InvalidEmbedValue, JsonWriter.write(raw))
+        }
+    }
 
   private def getFlagBool(frame: JObj, key: String, default: Boolean): Boolean =
     frame.get(key).map(asValues).flatMap(_.headOption).flatMap {

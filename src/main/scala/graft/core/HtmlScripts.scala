@@ -112,11 +112,19 @@ object HtmlScripts {
         }
         if (gtPos < 0) return out.result()
         if (name == "script") {
+          // XHTML self-closing <script .../> is a genuinely EMPTY element
+          // (the loader accepts application/xhtml+xml): content is "",
+          // not everything up to some later </script>
+          if (gtPos > afterTag && html.charAt(gtPos - 1) == '/') {
+            out += Script(attrs.result(), "")
+            i = gtPos + 1
+          } else {
           val close = indexOfIgnoreCase(html, "</script", gtPos + 1)
           val contentEnd = if (close < 0) n else close
           out += Script(attrs.result(), html.substring(gtPos + 1, contentEnd))
           val closeGt = if (close < 0) n else html.indexOf('>', close)
           i = if (closeGt < 0) n else closeGt + 1
+          }
         } else {
           out += Script(attrs.result(), "")
           i = gtPos + 1

@@ -139,12 +139,13 @@ class HtmlScriptsSpec extends AnyFunSuite {
   test("fuzz: the scanner never throws anything but JsonLdError on hostile markup") {
     // corpus operators must degrade to error-channel rows, never kill a task
     val rnd = new scala.util.Random(20260817L)
-    val alphabet = "<script type=\"application/ld+json\">{}[]'= /abc\t\n!--"
+    val alphabet = "<script type=\"application/ld+json\">{}[]'= /abc\t\n!--base href"
     var i = 0
     while (i < 3000) {
       val s = Array.fill(rnd.nextInt(80))(alphabet(rnd.nextInt(alphabet.length))).mkString
       try {
         HtmlScripts.scripts(s)
+        HtmlScripts.baseHref(s)
         HtmlScripts.extract(s, if (rnd.nextBoolean()) Some("x") else None, rnd.nextBoolean())
       } catch { case _: JsonLdError => /* the only acceptable failure */ }
       i += 1
@@ -186,6 +187,23 @@ class HtmlScriptsSpec extends AnyFunSuite {
     val out = JsonLdApi.expand(remoteHtml("http://example.org/page.html#second"), JsonLdOptions())
     val ids = out.iterator.flatMap(_.asObj).flatMap(_.get("@id")).toSet
     assert(ids == Set[JsonValue](JStr("http://n/2"), JStr("http://n/3")))
+  }
+
+  test("XHTML self-closing script is an empty element, not a content sink") {
+    // a self-closed ld+json script has no content → invalid script element
+    // (empty string is not a JSON document); crucially it must NOT swallow
+    // the rest of the markup, so the next script stays extractable
+    val page = """<script type="application/ld+json"/><script type="application/ld+json">{"@id": "http://n/9"}</script>"""
+    val all = HtmlScripts.scripts(page)
+    assert(all.size == 2 && all(0).content == "" && all(1).content.contains("http://n/9"))
+    val err = intercept[JsonLdError] {
+      HtmlScripts.extract(page, None, extractAllScripts = false)
+    }
+    assert(err.code.rendered == "invalid script element")
+    // a fragment id still reaches the second, valid script
+    val page2 = """<script type="application/ld+json" id="a"/><script type="application/ld+json" id="b">{"@id": "http://n/9"}</script>"""
+    val byId = HtmlScripts.extract(page2, Some("b"), extractAllScripts = false)
+    assert(byId.asObj.get.get("@id").contains(JStr("http://n/9")))
   }
 
   test("baseHref: first base with href wins; commented-out and href-less base elements are ignored") {

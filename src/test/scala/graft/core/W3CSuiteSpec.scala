@@ -343,10 +343,12 @@ class W3CSuiteSpec extends AnyFunSuite {
       }
       case _ => false
     }
-    val frames = listCases(frameDir).map { id =>
-      val f = JsonParser.parse(readFile(frameDir.resolve(s"$id-frame.jsonld")))
-      (id, f, hasDefault(f))
-    }
+    val frames = listCases(frameDir)
+      .filter(id => !Files.exists(frameDir.resolve(s"$id-error.txt"))) // negative frames throw by design
+      .map { id =>
+        val f = JsonParser.parse(readFile(frameDir.resolve(s"$id-frame.jsonld")))
+        (id, f, hasDefault(f))
+      }
     val inputs: Vector[(String, Path, String)] =
       listCases(frameDir).map(id => (s"frame/$id", frameDir, id)) ++
       listCases(expandDir).filter(id => !Files.exists(expandDir.resolve(s"$id-error.txt")))
@@ -388,7 +390,8 @@ class W3CSuiteSpec extends AnyFunSuite {
   test("every frame fixture's output is itself expandable without error") {
     // framed output embeds @context and preserve-null artifacts; a
     // compliant processor must be able to consume it
-    for (id <- listCases(frameDir)) {
+    for (id <- listCases(frameDir)
+         if !Files.exists(frameDir.resolve(s"$id-error.txt"))) {
       val out = JsonParser.parse(readFile(frameDir.resolve(s"$id-out.jsonld")))
       val opts = optionsFor(frameDir, id, s"http://example.org/t/$id-in.jsonld")
       JsonLdApi.expand(JsonLdInput.Doc(out), opts, loader) // must not throw
@@ -397,8 +400,22 @@ class W3CSuiteSpec extends AnyFunSuite {
 
   // ---- frame ----
   // frame/<id>-{in,frame,out}.jsonld : frame(in, frame) compared with json_ld_eq
+  // frame/<id>-error.txt replaces -out: the rendered error string expected
   private val frameDir = root.resolve("frame")
   for (id <- listCases(frameDir)) {
+    val errFile = frameDir.resolve(s"$id-error.txt")
+    if (Files.exists(errFile)) {
+      test(s"frame/$id (negative)") {
+        val input = JsonParser.parse(readFile(frameDir.resolve(s"$id-in.jsonld")))
+        val frameDoc = JsonParser.parse(readFile(frameDir.resolve(s"$id-frame.jsonld")))
+        val opts = optionsFor(frameDir, id, s"http://example.org/t/$id-in.jsonld")
+        val expected = readFile(errFile).trim
+        val err = intercept[JsonLdError] {
+          JsonLdApi.frame(JsonLdInput.Doc(input), frameDoc, opts, loader)
+        }
+        assert(err.code.rendered == expected, s"got: ${err.render}")
+      }
+    } else
     test(s"frame/$id") {
       val input = JsonParser.parse(readFile(frameDir.resolve(s"$id-in.jsonld")))
       val frameDoc = JsonParser.parse(readFile(frameDir.resolve(s"$id-frame.jsonld")))
@@ -583,6 +600,102 @@ class W3CSuiteSpec extends AnyFunSuite {
       }
     }
     info(s"$combos (expand input, context) combinations graph-preserving ($prefixConfusions loud prefix-confusion rejections; $relativeSkips base-sensitive or 1.0-mode inputs skipped)")
+  }
+
+  test("sweep 6: flattened documents stay graph-preserving under every compact context") {
+    // flatten emits a shape no raw fixture has — a top-level node ARRAY
+    // with issuer-relabeled bnodes and named-graph nodes carrying @graph —
+    // and the flatten(input, ctx) API compacts exactly that shape. For any
+    // context the result must still describe the input's RDF graph:
+    //   quads(expand(compact(flatten(expand(in)), ctx))) == quads(expand(in))
+    val ctxIds = listCases(compactDir).filter(id => !Files.exists(compactDir.resolve(s"$id-error.txt")))
+    val contexts = ctxIds.map(id => id -> JsonParser.parse(readFile(compactDir.resolve(s"$id-context.jsonld"))))
+    def hasRelIri2(v: JsonValue): Boolean = v match {
+      case a: JArr => a.iterator.exists(hasRelIri2)
+      case o: JObj => o.iterator.exists { case (k, vv) =>
+        (k == "@id" && vv.asString.exists(id => !id.contains(':'))) || hasRelIri2(vv)
+      }
+      case _ => false
+    }
+    var combos = 0
+    var prefixConfusions = 0
+    var skips = 0
+    for (inId <- listCases(expandDir)
+         if !Files.exists(expandDir.resolve(s"$inId-error.txt"))) {
+      val opts = optionsFor(expandDir, inId, s"http://example.org/t/$inId-in.jsonld")
+      if (opts.processingMode == ProcessingMode.JsonLd10) skips += 1
+      else {
+        val expandedIn = JsonLdApi.expand(
+          JsonLdInput.Doc(JsonParser.parse(readFile(expandDir.resolve(s"$inId-in.jsonld")))), opts, loader)
+        if (hasRelIri2(expandedIn)) skips += 1
+        else {
+          val qIn = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(expandedIn.deepCopy.asArr.get, opts))
+          val flattened = Flatten.flattenExpanded(expandedIn)
+          for ((ctxId, ctx) <- contexts) {
+            combos += 1
+            val compactedOpt =
+              try Some(JsonLdApi.compactPreExpanded(flattened.deepCopy.asArr.get, Some(ctx.deepCopy), opts, loader))
+              catch {
+                case e: JsonLdError if e.code == ErrorCode.IRIConfusedWithPrefix =>
+                  prefixConfusions += 1; None
+                case e: JsonLdError =>
+                  fail(s"in=expand/$inId ctx=$ctxId: flattened compaction threw ${e.render}")
+              }
+            compactedOpt.foreach { compacted =>
+              val re =
+                try JsonLdApi.expand(JsonLdInput.Doc(compacted), opts, loader)
+                catch { case e: JsonLdError =>
+                  fail(s"in=expand/$inId ctx=$ctxId: re-expansion threw ${e.render}\ncompacted: ${JsonWriter.write(compacted)}") }
+              val qRe = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(re, opts))
+              assert(qRe == qIn,
+                s"in=expand/$inId ctx=$ctxId: graph changed through flatten+compaction\ncompacted: ${JsonWriter.write(compacted)}\nquads(in):\n$qIn\nquads(re):\n$qRe")
+            }
+          }
+        }
+      }
+    }
+    info(s"$combos (flattened input, context) combinations graph-preserving ($prefixConfusions loud prefix-confusion rejections; $skips 1.0-mode or base-sensitive inputs skipped)")
+  }
+
+  test("sweep 8: frameExpansion mode never changes the GRAPH of an ordinary (non-frame) document") {
+    // frameExpansion relaxes validation for FRAMES (keyword value patterns,
+    // empty maps, @default) and legitimately changes the expanded TREE of
+    // ordinary documents in quad-invisible ways (the spec keeps @id-only
+    // nodes that normal mode nulls out — t0021). The invariant that must
+    // hold is graph-level: the quads may not differ, or frame-pattern
+    // semantics leaked into normal value handling.
+    for (id <- listCases(expandDir)
+         if !Files.exists(expandDir.resolve(s"$id-error.txt"))) {
+      val opts = optionsFor(expandDir, id, s"http://example.org/t/$id-in.jsonld")
+      val plain = JsonLdApi.expand(
+        JsonLdInput.Doc(JsonParser.parse(readFile(expandDir.resolve(s"$id-in.jsonld")))), opts, loader)
+      val framed = JsonLdApi.expand(
+        JsonLdInput.Doc(JsonParser.parse(readFile(expandDir.resolve(s"$id-in.jsonld")))),
+        opts.copy(frameExpansion = true), loader)
+      val qPlain = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(plain, opts))
+      val qFramed = BnodeCanon.toCanonicalNQuads(ToRdf.toRdf(framed, opts))
+      assert(qFramed == qPlain,
+        s"fixture $id: frameExpansion changed the graph of an ordinary document\nplain:\n$qPlain\nframed:\n$qFramed")
+    }
+  }
+
+  test("sweep 7: an empty expandContext is a no-op on every positive expand fixture") {
+    // expandContext merges an external context into the INITIAL active
+    // context; the empty context must leave every result untouched (any
+    // divergence means initialization state leaks into expansion)
+    for (id <- listCases(expandDir)
+         if !Files.exists(expandDir.resolve(s"$id-error.txt"))) {
+      val opts = optionsFor(expandDir, id, s"http://example.org/t/$id-in.jsonld")
+      if (opts.expandContext.isEmpty) {
+        val plain = JsonLdApi.expand(
+          JsonLdInput.Doc(JsonParser.parse(readFile(expandDir.resolve(s"$id-in.jsonld")))), opts, loader)
+        val withEmpty = JsonLdApi.expand(
+          JsonLdInput.Doc(JsonParser.parse(readFile(expandDir.resolve(s"$id-in.jsonld")))),
+          opts.copy(expandContext = Some(JsonOrRef.Obj(new JObj()))), loader)
+        assert(JsonEq.jsonLdEq(withEmpty, plain, ordered = false),
+          s"fixture $id: empty expandContext changed the result\nplain:     ${JsonWriter.write(plain)}\nwithEmpty: ${JsonWriter.write(withEmpty)}")
+      }
+    }
   }
 
   for (id <- listCases(compactDir)) {
