@@ -206,7 +206,26 @@ object Compaction {
               case a: JArr => a
               case other => JArr(other)
             }
-            if (container == Container.ListC) nestResult.put(itemActiveProperty, compactedItem)
+            if (container == Container.ListC) {
+              if (!nestResult.contains(itemActiveProperty))
+                nestResult.put(itemActiveProperty, compactedItem)
+              else {
+                // a @list-container term key IS one list: a SECOND list on
+                // the same property cannot ride it (the old put() silently
+                // overwrote the first list — data loss, caught by the
+                // generative sweep; bug #13). Documented data-preserving
+                // deviation: subsequent lists emit under the property's
+                // full IRI as explicit {@list} objects.
+                val obj = new JObj()
+                obj.put(compactIri(activeContext, "@list", options, None, vocab = true, reverse = false), compactedItem)
+                itemObj.removeKey("@index").foreach { idx =>
+                  obj.put(compactIri(activeContext, "@index", options, None, vocab = true, reverse = false), idx)
+                }
+                val fullIri = activeContext.termDefinitions.get(itemActiveProperty)
+                  .flatMap(_.iri).getOrElse(itemActiveProperty)
+                addValue(nestResult, fullIri, obj, asArray)
+              }
+            }
             else {
               val obj = new JObj()
               obj.put(compactIri(activeContext, "@list", options, None, vocab = true, reverse = false), compactedItem)

@@ -39,6 +39,119 @@ class PropertySpec extends AnyFunSuite {
     o
   }
 
+  // --- generative semantic sweep: random VALID expanded-form documents ---
+  // The fixture-corpus sweeps in W3CSuiteSpec replay curated inputs; this
+  // generates fresh expanded-form documents (nodes, typed/lang/direction/
+  // JSON-ish values, node refs, nested nodes, lists incl. nested/empty,
+  // named graphs, shared bnode labels, @index) and asserts the SEMANTIC
+  // invariants, not just no-crash:
+  //   1. flatten preserves canonical quads
+  //   2. compaction under each probe context preserves canonical quads
+  //      (or rejects loudly with IRI-confused-with-prefix)
+  //   3. toRdf∘fromRdf is the identity on the document's quads
+  //   4. wildcard framing preserves the merged graph
+  private val genIriG: Gen[String] = Gen.oneOf("http://a/", "http://b/x", "http://c/y#f", "http://d/p")
+  private val genPropG: Gen[String] = Gen.oneOf("http://p/1", "http://p/2", "http://p/3", "http://v/data")
+  private val genValueG: Gen[JObj] = Gen.frequency(
+    3 -> Gen.zip(Gen.oneOf("s1", "s2", ""), Gen.option(Gen.oneOf("en", "ar", "de-de")))
+      .map { case (s, lang) =>
+        val o = JObj("@value" -> JStr(s)); lang.foreach(l => o.put("@language", JStr(l))); o
+      },
+    2 -> Gen.chooseNum(-3, 3).map(n => JObj("@value" -> JNum(n.toDouble))),
+    1 -> Gen.oneOf(true, false).map(b => JObj("@value" -> JBool(b))),
+    1 -> Gen.zip(Gen.oneOf("s", "t"), genIriG).map { case (s, dt) =>
+      JObj("@value" -> JStr(s), "@type" -> JStr(dt)) },
+    1 -> Gen.const(JObj("@value" -> JStr("x"), "@direction" -> JStr("rtl"))))
+  private def genItemG(depth: Int): Gen[JObj] = {
+    val base = Seq(
+      4 -> genValueG,
+      2 -> Gen.oneOf(genIriG, Gen.oneOf("_:n1", "_:n2", "_:n3")).map(id => JObj("@id" -> JStr(id))))
+    val deep =
+      if (depth <= 0) Nil
+      else Seq(
+        2 -> genNodeG(depth - 1, allowGraph = false),
+        1 -> Gen.chooseNum(0, 2).flatMap(n => Gen.listOfN(n, genItemG(depth - 1)))
+          .map(items => JObj("@list" -> JArr.from(items))))
+    Gen.frequency(base ++ deep: _*)
+  }
+  private def genNodeG(depth: Int, allowGraph: Boolean): Gen[JObj] = for {
+    id <- Gen.option(Gen.oneOf(genIriG, Gen.oneOf("_:n1", "_:n2", "_:n3")))
+    types <- Gen.option(Gen.listOfN(1, genIriG))
+    idx <- Gen.option(Gen.const("k1"))
+    nProps <- Gen.chooseNum(0, 3)
+    props <- Gen.listOfN(nProps, Gen.zip(genPropG,
+      Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, genItemG(depth)))))
+    graph <- if (allowGraph && id.isDefined)
+      Gen.option(Gen.listOfN(2, genNodeG(0, allowGraph = false)))
+    else Gen.const(None)
+  } yield {
+    val o = new JObj()
+    id.foreach(i => o.put("@id", JStr(i)))
+    types.foreach(ts => o.put("@type", JArr.from(ts.map(JStr.apply))))
+    idx.foreach(i => o.put("@index", JStr(i)))
+    props.foreach { case (p, items) =>
+      if (!o.contains(p)) o.put(p, JArr.from(items))
+    }
+    graph.foreach(g => o.put("@graph", JArr.from(g)))
+    o
+  }
+  private val genExpandedDocG: Gen[JArr] =
+    Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, genNodeG(2, allowGraph = true))).map(JArr.from(_))
+
+  test("generative sweep: random valid expanded documents hold the flatten/compact/fromRdf/frame invariants") {
+    val opts = JsonLdOptions(base = Some("http://base/doc"))
+    val probeContexts: Vector[(String, JObj)] = Vector(
+      "empty" -> new JObj(),
+      "vocab" -> JObj("@vocab" -> JStr("http://p/")),
+      "json-typed" -> JObj(
+        "ex" -> JStr("http://p/"),
+        "data" -> JObj("@id" -> JStr("http://v/data"), "@type" -> JStr("@json"))),
+      "set+lang" -> JObj(
+        "p1" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@set")),
+        "@language" -> JStr("en")),
+      "list" -> JObj("lst" -> JObj("@id" -> JStr("http://p/2"), "@container" -> JStr("@list"))))
+    def canon(ts: Vector[Triple]): String = BnodeCanon.toCanonicalNQuads(ts)
+    def mergedCanon(ts: Vector[Triple]): String =
+      BnodeCanon.toCanonicalNQuads(ts.map(_.copy(graph = "")).distinct)
+    forAll(genExpandedDocG, n = 250) { doc =>
+      val expanded = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts)
+      val triples = ToRdf.toRdf(expanded.deepCopy.asArr.get, opts)
+      val qIn = canon(triples)
+      // 1. flatten
+      val qFlat = canon(ToRdf.toRdf(Flatten.flattenExpanded(expanded.deepCopy.asArr.get), opts))
+      assert(qFlat == qIn, s"flatten changed the graph\ndoc: ${JsonWriter.write(doc)}\nin:\n$qIn\nflat:\n$qFlat")
+      // 2. compaction round-trips
+      for ((label, ctx) <- probeContexts) {
+        val compactedOpt =
+          try Some(JsonLdApi.compactPreExpanded(expanded.deepCopy.asArr.get,
+            Some(JObj("@context" -> ctx.deepCopy)), opts))
+          catch {
+            case e: JsonLdError if e.code == ErrorCode.IRIConfusedWithPrefix => None
+            case e: JsonLdError =>
+              fail(s"ctx=$label: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc)}")
+          }
+        compactedOpt.foreach { compacted =>
+          val re =
+            try JsonLdApi.expand(JsonLdInput.Doc(compacted), opts)
+            catch { case e: JsonLdError =>
+              fail(s"ctx=$label: re-expansion threw ${e.render}\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}") }
+          val qRe = canon(ToRdf.toRdf(re, opts))
+          assert(qRe == qIn,
+            s"ctx=$label: graph changed through compaction\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}\nin:\n$qIn\nre:\n$qRe")
+        }
+      }
+      // 3. toRdf ∘ fromRdf identity
+      val qBack = canon(ToRdf.toRdf(JsonLdApi.fromRdf(triples, opts), opts))
+      assert(qBack == qIn, s"toRdf∘fromRdf not identity\ndoc: ${JsonWriter.write(doc)}\nin:\n$qIn\nback:\n$qBack")
+      // 4. wildcard framing preserves the merged graph
+      val framed = JsonLdApi.frame(JsonLdInput.Doc(expanded.deepCopy), new JObj(), opts)
+      val qFrame = mergedCanon(ToRdf.toRdf(JsonLdApi.expand(JsonLdInput.Doc(framed), opts), opts))
+      assert(qFrame == mergedCanon(triples),
+        s"wildcard framing changed the merged graph\ndoc: ${JsonWriter.write(doc)}\nframed: ${JsonWriter.write(framed)}")
+    }
+  }
+
   test("keyword-heavy fuzz: expand→toRdf→canonicalize never fails with anything but a clean JsonLdError") {
     // crash-fuzz for branches the curated fixtures miss: random documents
     // built from JSON-LD keywords, aliases, IRIs, bnodes, and junk. Spec
