@@ -44,7 +44,10 @@ object SparkEntry {
     * and fails on drift, and the j12 query empties at verify time.
     */
   private[graft] val J12ExpectedTriples = 1482L
-  private[graft] val J12ExpectedHash = BigDecimal("-91556764623398837140")
+  // re-pinned when canonicalization became triple-multiset-insensitive
+  // (bug #16: duplicate triples no longer feed the bnode refinement hash;
+  // the deep corpus carries such duplicates, so labels legitimately moved)
+  private[graft] val J12ExpectedHash = BigDecimal("-317920836081807632717")
 
   /** The j12 measurement, shared verbatim with PipelineSpec's pin test:
     * canonicalize the FIXED 120-doc deep-bnode corpus (size independent of
@@ -594,10 +597,12 @@ object SparkEntry {
     "j11_bnode_refinement" -> ((s, d) => {
       // WL refinement at corpus scale (round-3 judge item 6): the deep-bnode
       // corpus mode's chains collide on first-degree signatures, so
-      // Canonicalize's neighbor-hash rounds MUST run (2 of them) to separate
-      // them. Self-checking rows-only query: refine_rounds is the actual
-      // executed round count and the filter empties the result if the
-      // refinement path was skipped.
+      // Canonicalize's neighbor-hash rounds MUST run to separate them (one
+      // round since hash-side triple dedup — duplicate triples no longer
+      // manufacture extra first-degree splits, so the fixpoint lands
+      // earlier). Self-checking rows-only query: refine_rounds is the
+      // actual executed round count and the filter empties the result if
+      // the refinement path was skipped.
       val ctxB = s.sparkContext.broadcast(RemoteContextPool.pool)
       val parts = s.sparkContext.defaultParallelism.max(4)
       val docs = SyntheticDocs.generateDeepBnodes(s, (docCount(d) / 5).max(50), parts)

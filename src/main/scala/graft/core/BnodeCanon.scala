@@ -75,7 +75,13 @@ object BnodeCanon {
     * maxRounds bounds the refinement fixpoint (graph diameter is the true
     * bound; identical-hash survivors get deterministic ordinal suffixes).
     */
-  def canonicalize(triples: Vector[Triple], scopeSalt: String = "", maxRounds: Int = 8): Vector[Triple] = {
+  def canonicalize(triples0: Vector[Triple], scopeSalt: String = "", maxRounds: Int = 8): Vector[Triple] = {
+    // labels must depend on the quad SET, not the triple multiset: a
+    // document repeating an identical value emits the same triple twice
+    // out of toRdf, while a round-trip through fromRdf dedups it — hashing
+    // the duplicate would give the same graph two different canonical
+    // labelings (generative sweep, toRdf∘fromRdf identity leg)
+    val triples = if (triples0.length > 1) triples0.distinct else triples0
     val bnodes = collection.mutable.LinkedHashSet[String]()
     triples.foreach { t =>
       if (t.subj.startsWith("_:")) bnodes += t.subj
@@ -83,7 +89,7 @@ object BnodeCanon {
       if (t.objKind == "bnode") bnodes += t.objValue
       if (t.graph.startsWith("_:")) bnodes += t.graph
     }
-    if (bnodes.isEmpty) return triples
+    if (bnodes.isEmpty) return triples0
 
     // Signatures are accumulated node-by-node in ONE pass over the triples
     // (the per-bnode flatMap formulation rescanned all triples per bnode —
@@ -162,7 +168,7 @@ object BnodeCanon {
           labels(m) = "_:c" + sha256(scopeSalt + "|" + h + s"-$i").substring(0, 16)
       }
     }
-    triples.map { t =>
+    triples0.map { t =>
       // copy only when a field is actually relabeled (bnode fields are the
       // minority; Triple.copy per triple was a measured allocation site)
       val s = if (t.subj.startsWith("_:")) labels.getOrElse(t.subj, t.subj) else t.subj

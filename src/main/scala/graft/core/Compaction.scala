@@ -347,6 +347,28 @@ object Compaction {
       case _ => false
     }
     if (isMapContainer) {
+      // map-entry compatibility gate: a language map may only carry plain
+      // STRING values (expansion rejects everything else — a boolean
+      // compacted into {"@none": false} is un-expandable output, bug #14,
+      // generative sweep), and @id/@type maps may only carry NODE objects
+      // (a value object re-reads as garbage there). Incompatible items
+      // take the property's full IRI — the established data-preserving
+      // fallback. Index maps accept any item shape.
+      val mapCompatible =
+        if (container.isLanguage)
+          expandedItem.asObj.exists { eo =>
+            eo.get("@value").exists(_.isInstanceOf[JStr]) &&
+            eo.keys.forall(k => k == "@value" || k == "@language" || k == "@index")
+          }
+        else if ((container.isId && !container.isGraph) || container.isType)
+          expandedItem.asObj.exists(eo => !eo.contains("@value") && !eo.contains("@list"))
+        else true
+      if (!mapCompatible) {
+        val fullIri = activeContext.termDefinitions.get(itemActiveProperty)
+          .flatMap(_.iri).getOrElse(itemActiveProperty)
+        addValue(nestResult, fullIri, compactedItem, asArray)
+        return
+      }
       val mapObject = nestResult.get(itemActiveProperty) match {
         case Some(o: JObj) => o
         case _ => val o = new JObj(); nestResult.put(itemActiveProperty, o); o

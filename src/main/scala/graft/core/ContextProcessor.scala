@@ -490,7 +490,7 @@ object ContextProcessor {
             mutable.Map[TypeOrLanguage, mutable.Map[String, String]](
               TypeOrLanguage.Language -> mutable.Map(),
               TypeOrLanguage.Type -> mutable.Map(),
-              TypeOrLanguage.Any -> mutable.Map("@none" -> key))
+              TypeOrLanguage.Any -> mutable.Map())
           })
           def insert(tl: TypeOrLanguage, entry: String): Unit = {
             val m = typeLanguageMap(tl)
@@ -502,8 +502,15 @@ object ContextProcessor {
           // FORWARD property with only a reverse term picked the reverse
           // term and silently FLIPPED THE EDGE DIRECTION on re-expansion
           // (cross-product sweep 2, in=expand/t0067 ctx=c0052 — bug #9).
+          // The same exclusivity applies to the Any bucket (the spec seeds
+          // it unconditionally with the first term): an EMPTY LIST selects
+          // via TypeOrLanguage.Any, and a reverse term seeded there
+          // compacted `{"@list": []}` onto the reverse term — un-expandable
+          // output (generative sweep, reverse-term probe context).
           if (value.reverseProperty) insert(TypeOrLanguage.Type, "@reverse")
-          else value.typeMapping match {
+          else {
+          insert(TypeOrLanguage.Any, "@none")
+          value.typeMapping match {
             case Some("@none") =>
               insert(TypeOrLanguage.Language, "@any")
               insert(TypeOrLanguage.Type, "@any")
@@ -518,6 +525,7 @@ object ContextProcessor {
                 insert(TypeOrLanguage.Type, "@none")
               }
               insert(TypeOrLanguage.Language, langDir)
+          }
           }
       }
     }

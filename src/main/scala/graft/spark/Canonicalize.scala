@@ -53,7 +53,15 @@ object Canonicalize {
       .withColumn("graph_key", when(col("graph").startsWith("_:"), concat(scopeCol, lit("|"), col("graph"))))
       .localCheckpoint(false)
 
+    // hash-side dedup: labels must depend on the quad SET — a document
+    // repeating an identical value emits the same triple twice, and the
+    // duplicate signature would hash the same graph to different labels
+    // than its deduplicated equivalent (mirrors BnodeCanon.canonicalize;
+    // the relabel joins below still run over the un-deduped withKeys, so
+    // output rows and counts are untouched). One extra exchange over the
+    // bnode-adjacent subset only.
     val bnodeTriples = withKeys.filter(col("subj_key").isNotNull || col("obj_key").isNotNull || col("graph_key").isNotNull)
+      .dropDuplicates()
     if (bnodeTriples.isEmpty) return (withKeys.drop("subj_key", "obj_key", "graph_key"), 0)
 
     // directed incidence list: one row per (bnode, role) occurrence

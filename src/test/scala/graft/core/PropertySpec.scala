@@ -39,6 +39,19 @@ class PropertySpec extends AnyFunSuite {
     o
   }
 
+  test("canonical labels are multiset-insensitive: duplicate triples hash like their deduplicated set") {
+    // a repeated identical value in a document emits the same triple twice
+    // out of toRdf, while a fromRdf round trip dedups it — both
+    // representations of the SAME graph must canonicalize identically
+    // (bug #16, generative sweep)
+    val t1 = Triple("_:a", "http://p/", "literal", "x", "", "", "")
+    val t2 = Triple("_:a", "http://p/", "bnode", "_:b", "", "", "")
+    val t3 = Triple("_:b", "http://q/", "literal", "y", "", "", "")
+    val once = BnodeCanon.toCanonicalNQuads(Vector(t1, t2, t3))
+    val dup = BnodeCanon.toCanonicalNQuads(Vector(t1, t1, t2, t3, t3))
+    assert(once == dup)
+  }
+
   // --- generative semantic sweep: random VALID expanded-form documents ---
   // The fixture-corpus sweeps in W3CSuiteSpec replay curated inputs; this
   // generates fresh expanded-form documents (nodes, typed/lang/direction/
@@ -61,7 +74,8 @@ class PropertySpec extends AnyFunSuite {
     1 -> Gen.oneOf(true, false).map(b => JObj("@value" -> JBool(b))),
     1 -> Gen.zip(Gen.oneOf("s", "t"), genIriG).map { case (s, dt) =>
       JObj("@value" -> JStr(s), "@type" -> JStr(dt)) },
-    1 -> Gen.const(JObj("@value" -> JStr("x"), "@direction" -> JStr("rtl"))))
+    1 -> Gen.const(JObj("@value" -> JStr("x"), "@direction" -> JStr("rtl"))),
+    1 -> Gen.const(JObj("@value" -> JStr("ix"), "@index" -> JStr("vi"))))
   private def genItemG(depth: Int): Gen[JObj] = {
     val base = Seq(
       4 -> genValueG,
@@ -81,6 +95,12 @@ class PropertySpec extends AnyFunSuite {
     nProps <- Gen.chooseNum(0, 3)
     props <- Gen.listOfN(nProps, Gen.zip(genPropG,
       Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, genItemG(depth)))))
+    // @reverse: arrays of NODE objects only (value objects are invalid there)
+    reverse <- if (depth > 0) Gen.option(Gen.zip(genPropG,
+      Gen.oneOf(genIriG, Gen.oneOf("_:n1", "_:n2")).map(i => JObj("@id" -> JStr(i)))))
+    else Gen.const(None)
+    included <- if (depth > 0) Gen.option(Gen.listOfN(1, genNodeG(0, allowGraph = false)))
+    else Gen.const(None)
     graph <- if (allowGraph && id.isDefined)
       Gen.option(Gen.listOfN(2, genNodeG(0, allowGraph = false)))
     else Gen.const(None)
@@ -92,6 +112,8 @@ class PropertySpec extends AnyFunSuite {
     props.foreach { case (p, items) =>
       if (!o.contains(p)) o.put(p, JArr.from(items))
     }
+    reverse.foreach { case (p, ref) => o.put("@reverse", JObj(p -> JArr(ref))) }
+    included.foreach(ns => o.put("@included", JArr.from(ns)))
     graph.foreach(g => o.put("@graph", JArr.from(g)))
     o
   }
@@ -110,7 +132,13 @@ class PropertySpec extends AnyFunSuite {
       "set+lang" -> JObj(
         "p1" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@set")),
         "@language" -> JStr("en")),
-      "list" -> JObj("lst" -> JObj("@id" -> JStr("http://p/2"), "@container" -> JStr("@list"))))
+      "list" -> JObj("lst" -> JObj("@id" -> JStr("http://p/2"), "@container" -> JStr("@list"))),
+      "index-map" -> JObj("ix" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@index"))),
+      "id-map" -> JObj("idm" -> JObj("@id" -> JStr("http://p/2"), "@container" -> JStr("@id"))),
+      "type-map" -> JObj("tm" -> JObj("@id" -> JStr("http://p/3"), "@container" -> JStr("@type"))),
+      "lang-map" -> JObj("lm" -> JObj("@id" -> JStr("http://p/3"), "@container" -> JStr("@language"))),
+      "graph-ctr" -> JObj("g" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@graph"))),
+      "reverse-term" -> JObj("rt" -> JObj("@reverse" -> JStr("http://p/2"))))
     def canon(ts: Vector[Triple]): String = BnodeCanon.toCanonicalNQuads(ts)
     def mergedCanon(ts: Vector[Triple]): String =
       BnodeCanon.toCanonicalNQuads(ts.map(_.copy(graph = "")).distinct)
