@@ -201,41 +201,47 @@ object Compaction {
       case itemObj: JObj =>
         itemObj.removeKey("@list") match {
           case Some(list) =>
-            val compacted0 = compactInternal(activeContext, Some(itemActiveProperty), list, state)
+            // list CONTENT is compacted against the property that will
+            // CARRY it: items routed to the full-IRI fallback re-expand
+            // WITHOUT the term's type/container semantics, so term-specific
+            // shaping must not apply there (generative sweep: a list item's
+            // JSON literal unwrapped raw under a @json term, then re-read
+            // as a nested list under the full IRI)
+            val firstListOnTerm =
+              container == Container.ListC && !nestResult.contains(itemActiveProperty)
+            val carrier =
+              if (container == Container.ListC) {
+                if (firstListOnTerm) itemActiveProperty
+                else activeContext.termDefinitions.get(itemActiveProperty)
+                  .flatMap(_.iri).getOrElse(itemActiveProperty)
+              } else fallbackProperty
+            val compacted0 = compactInternal(activeContext, Some(carrier), list, state)
             val compactedItem = compacted0 match {
               case a: JArr => a
               case other => JArr(other)
             }
-            if (container == Container.ListC) {
-              if (!nestResult.contains(itemActiveProperty))
-                nestResult.put(itemActiveProperty, compactedItem)
-              else {
-                // a @list-container term key IS one list: a SECOND list on
-                // the same property cannot ride it (the old put() silently
-                // overwrote the first list — data loss, caught by the
-                // generative sweep; bug #13). Documented data-preserving
-                // deviation: subsequent lists emit under the property's
-                // full IRI as explicit {@list} objects.
-                val obj = new JObj()
-                obj.put(compactIri(activeContext, "@list", options, None, vocab = true, reverse = false), compactedItem)
-                itemObj.removeKey("@index").foreach { idx =>
-                  obj.put(compactIri(activeContext, "@index", options, None, vocab = true, reverse = false), idx)
-                }
-                val fullIri = activeContext.termDefinitions.get(itemActiveProperty)
-                  .flatMap(_.iri).getOrElse(itemActiveProperty)
-                addValue(nestResult, fullIri, obj, asArray)
-              }
-            }
+            if (firstListOnTerm) nestResult.put(itemActiveProperty, compactedItem)
             else {
+              // a @list-container term key IS one list: a SECOND list on
+              // the same property cannot ride it (the old put() silently
+              // overwrote the first list — data loss; bug #13). Documented
+              // data-preserving deviation: subsequent lists (and lists
+              // under map-container/@json terms) emit under the property's
+              // full IRI as explicit {@list} objects.
               val obj = new JObj()
               obj.put(compactIri(activeContext, "@list", options, None, vocab = true, reverse = false), compactedItem)
               itemObj.removeKey("@index").foreach { idx =>
                 obj.put(compactIri(activeContext, "@index", options, None, vocab = true, reverse = false), idx)
               }
-              addValue(nestResult, fallbackProperty, obj, asArray)
+              addValue(nestResult, carrier, obj, asArray)
             }
           case None if isGraphObject(itemObj) =>
-            val compactedItem = compactInternal(activeContext, Some(itemActiveProperty),
+            // same carrier rule as the @list branch: the {@graph, @id}
+            // wrapper path below may emit under the full IRI, where the
+            // term's scoped-context/type semantics do not re-apply
+            val usesWrapper = !(container.isGraph && (container.isId || !itemObj.contains("@id")))
+            val graphCarrier = if (usesWrapper) fallbackProperty else itemActiveProperty
+            val compactedItem = compactInternal(activeContext, Some(graphCarrier),
               itemObj.removeKey("@graph").get, state)
             // a graph with MULTIPLE nodes cannot ride a map entry (or a
             // simple container value) as a bare array: re-expansion wraps
@@ -286,7 +292,6 @@ object Compaction {
               addValue(nestResult, fallbackProperty, obj, asArray)
             }
           case None =>
-            val compactedItem = compactInternal(activeContext, Some(itemActiveProperty), itemObj.deepCopy, state)
             if (jsonType) {
               val isJsonLiteral = itemObj.contains("@value") && (itemObj.get("@type") match {
                 case Some(JStr(s)) => s == "@json"
@@ -299,7 +304,8 @@ object Compaction {
                 // compactArrays=false wrap both CHANGE the literal, since
                 // re-expansion reads the term's whole raw value as one
                 // literal (array-valued and empty-array literals included)
-                nestResult.put(itemActiveProperty, compactedItem)
+                nestResult.put(itemActiveProperty,
+                  compactInternal(activeContext, Some(itemActiveProperty), itemObj.deepCopy, state))
               } else {
                 // second literal on the key, or a node object: the term key
                 // would literalize it — emit under the property's full IRI
@@ -308,22 +314,27 @@ object Compaction {
                 val item =
                   if (isJsonLiteral)
                     JObj("@value" -> itemObj.get("@value").get.deepCopy, "@type" -> JStr("@json"))
-                  else compactedItem
+                  else // carrier rule: compact node content against the full IRI
+                    compactInternal(activeContext, Some(fallbackProperty), itemObj.deepCopy, state)
                 addValue(nestResult, fallbackProperty, item, asArray)
               }
-            } else
-            compactNodeOrSet(activeContext, itemActiveProperty, nestResult, itemObj, compactedItem,
-              container, state, asArray)
+            } else {
+              val compactedItem = compactInternal(activeContext, Some(itemActiveProperty), itemObj.deepCopy, state)
+              compactNodeOrSet(activeContext, itemActiveProperty, nestResult, itemObj, compactedItem,
+                container, state, asArray)
+            }
         }
       case other =>
-        val compactedItem = compactInternal(activeContext, Some(itemActiveProperty), other, state)
         if (jsonType)
           // a bare scalar under a @json-typed term would re-expand as a
           // JSON literal instead of a plain value — full-IRI fallback
-          addValue(nestResult, fallbackProperty, compactedItem, asArray)
-        else
-        compactNodeOrSet(activeContext, itemActiveProperty, nestResult, other, compactedItem,
-          container, state, asArray)
+          addValue(nestResult, fallbackProperty,
+            compactInternal(activeContext, Some(fallbackProperty), other, state), asArray)
+        else {
+          val compactedItem = compactInternal(activeContext, Some(itemActiveProperty), other, state)
+          compactNodeOrSet(activeContext, itemActiveProperty, nestResult, other, compactedItem,
+            container, state, asArray)
+        }
     }
   }
 
@@ -366,7 +377,10 @@ object Compaction {
       if (!mapCompatible) {
         val fullIri = activeContext.termDefinitions.get(itemActiveProperty)
           .flatMap(_.iri).getOrElse(itemActiveProperty)
-        addValue(nestResult, fullIri, compactedItem, asArray)
+        // carrier rule: re-compact against the full IRI, where the term's
+        // type/language/scoped-context semantics do not re-apply
+        addValue(nestResult, fullIri,
+          compactInternal(activeContext, Some(fullIri), expandedItem.deepCopy, state), asArray)
         return
       }
       val mapObject = nestResult.get(itemActiveProperty) match {

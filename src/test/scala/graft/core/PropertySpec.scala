@@ -75,7 +75,13 @@ class PropertySpec extends AnyFunSuite {
     1 -> Gen.zip(Gen.oneOf("s", "t"), genIriG).map { case (s, dt) =>
       JObj("@value" -> JStr(s), "@type" -> JStr(dt)) },
     1 -> Gen.const(JObj("@value" -> JStr("x"), "@direction" -> JStr("rtl"))),
-    1 -> Gen.const(JObj("@value" -> JStr("ix"), "@index" -> JStr("vi"))))
+    1 -> Gen.const(JObj("@value" -> JStr("ix"), "@index" -> JStr("vi"))),
+    // JSON literals: raw object / array / empty-array / scalar values —
+    // the whole-raw-value-literalization corner (bug #12 family)
+    1 -> Gen.oneOf[JsonValue](
+      JObj("a" -> JNum(1.0), "b" -> JArr(JBool(true), JNull)),
+      JArr(JNum(2.0)), new JArr(), JStr("jstr"), JNum(0.0))
+      .map(j => JObj("@value" -> j, "@type" -> JStr("@json"))))
   private def genItemG(depth: Int): Gen[JObj] = {
     val base = Seq(
       4 -> genValueG,
