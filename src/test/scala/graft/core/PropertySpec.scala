@@ -144,7 +144,14 @@ class PropertySpec extends AnyFunSuite {
       "type-map" -> JObj("tm" -> JObj("@id" -> JStr("http://p/3"), "@container" -> JStr("@type"))),
       "lang-map" -> JObj("lm" -> JObj("@id" -> JStr("http://p/3"), "@container" -> JStr("@language"))),
       "graph-ctr" -> JObj("g" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@graph"))),
-      "reverse-term" -> JObj("rt" -> JObj("@reverse" -> JStr("http://p/2"))))
+      "reverse-term" -> JObj("rt" -> JObj("@reverse" -> JStr("http://p/2"))),
+      // scoped contexts: the bug-#10/#17 interaction surface
+      "prop-scoped" -> JObj("ps" -> JObj("@id" -> JStr("http://p/1"),
+        "@context" -> JObj("inner" -> JStr("http://p/2"), "@vocab" -> JStr("http://qv/")))),
+      "scoped-null" -> JObj("sn" -> JObj("@id" -> JStr("http://p/2"), "@context" -> JNull)),
+      "type-scoped" -> JObj("TT" -> JObj("@id" -> JStr("http://b/x"),
+        "@context" -> JObj("p1" -> JStr("http://p/1")))),
+      "prefix" -> JObj("pfx" -> JObj("@id" -> JStr("http://p/"), "@prefix" -> JBool(true))))
     def canon(ts: Vector[Triple]): String = BnodeCanon.toCanonicalNQuads(ts)
     def mergedCanon(ts: Vector[Triple]): String =
       BnodeCanon.toCanonicalNQuads(ts.map(_.copy(graph = "")).distinct)
@@ -178,6 +185,14 @@ class PropertySpec extends AnyFunSuite {
       // 3. toRdf ∘ fromRdf identity
       val qBack = canon(ToRdf.toRdf(JsonLdApi.fromRdf(triples, opts), opts))
       assert(qBack == qIn, s"toRdf∘fromRdf not identity\ndoc: ${JsonWriter.write(doc)}\nin:\n$qIn\nback:\n$qBack")
+      // 3b. useNativeTypes rewrites lexical forms, so identity becomes
+      //     CONVERGENCE: a second round trip must be a fixpoint (mirrors
+      //     W3CSuiteSpec sweep 3's unt=true leg on generated shapes)
+      val optsN = opts.copy(useNativeTypes = true)
+      val qN1 = ToRdf.toRdf(JsonLdApi.fromRdf(triples, optsN), optsN)
+      val qN2 = ToRdf.toRdf(JsonLdApi.fromRdf(qN1, optsN), optsN)
+      assert(canon(qN2) == canon(qN1),
+        s"toRdf∘fromRdf not convergent under useNativeTypes\ndoc: ${JsonWriter.write(doc)}\ntrip1:\n${canon(qN1)}\ntrip2:\n${canon(qN2)}")
       // 4. wildcard framing preserves the merged graph
       val framed = JsonLdApi.frame(JsonLdInput.Doc(expanded.deepCopy), new JObj(), opts)
       val qFrame = mergedCanon(ToRdf.toRdf(JsonLdApi.expand(JsonLdInput.Doc(framed), opts), opts))
