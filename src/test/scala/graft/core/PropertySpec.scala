@@ -198,6 +198,25 @@ class PropertySpec extends AnyFunSuite {
       val qFrame = mergedCanon(ToRdf.toRdf(JsonLdApi.expand(JsonLdInput.Doc(framed), opts), opts))
       assert(qFrame == mergedCanon(triples),
         s"wildcard framing changed the merged graph\ndoc: ${JsonWriter.write(doc)}\nframed: ${JsonWriter.write(framed)}")
+      // 5. SELECTIVE frames must stay total, expandable, and sound (no
+      //    invented ground statements — the sweep-5 invariant, on shapes
+      //    the fixture corpus never produces)
+      val groundIn: Set[Triple] = triples.map(_.copy(graph = ""))
+        .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode").toSet
+      val selectiveFrames = Seq(
+        JObj("@type" -> JStr("http://b/x")),
+        JObj("http://p/1" -> JArr(new JObj())),
+        JObj("@requireAll" -> JBool(true), "@type" -> JStr("http://d/p"),
+          "http://p/2" -> JArr(new JObj())))
+      for (fr <- selectiveFrames) {
+        val out = JsonLdApi.frame(JsonLdInput.Doc(expanded.deepCopy), fr.deepCopy, opts)
+        val reOut = JsonLdApi.expand(JsonLdInput.Doc(out), opts)
+        val groundOut = ToRdf.toRdf(reOut, opts).map(_.copy(graph = ""))
+          .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode").toSet
+        val invented = groundOut -- groundIn
+        assert(invented.isEmpty,
+          s"selective framing INVENTED statements\nframe: ${JsonWriter.write(fr)}\ndoc: ${JsonWriter.write(doc)}\n${invented.mkString("\n")}")
+      }
     }
   }
 
