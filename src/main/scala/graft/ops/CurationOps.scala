@@ -162,7 +162,7 @@ object CurationOps {
     * tokens produce no rows (they cannot match an n-gram). The shingle array
     * is the generator input of ONE explode, so it is computed once per row
     * (a UDF alongside an explode in the same select would instead re-run per
-    * exploded element — CLAUDE.md).
+    * exploded element — measured in BENCH.md).
     */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 0, "shingle length must be positive")
