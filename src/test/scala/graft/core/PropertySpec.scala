@@ -180,6 +180,29 @@ class PropertySpec extends AnyFunSuite {
           val qRe = canon(ToRdf.toRdf(re, opts))
           assert(qRe == qIn,
             s"ctx=$label: graph changed through compaction\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}\nin:\n$qIn\nre:\n$qRe")
+          // compactArrays=false leg: the always-array emit paths (and kept
+          // @graph wrapper) must preserve the same graph on these shapes
+          val optsNA = opts.copy(compactArrays = false)
+          val compactedNA =
+            try JsonLdApi.compactPreExpanded(expanded.deepCopy.asArr.get,
+              Some(JObj("@context" -> ctx.deepCopy)), optsNA)
+            catch { case e: JsonLdError =>
+              fail(s"ctx=$label compactArrays=false: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc)}") }
+          val reNA =
+            try JsonLdApi.expand(JsonLdInput.Doc(compactedNA), optsNA)
+            catch { case e: JsonLdError =>
+              fail(s"ctx=$label compactArrays=false: re-expansion threw ${e.render}\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compactedNA)}") }
+          val qNA = canon(ToRdf.toRdf(reNA, optsNA))
+          assert(qNA == qIn,
+            s"ctx=$label compactArrays=false: graph changed\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compactedNA)}\nin:\n$qIn\nre:\n$qNA")
+          // ordered=true must not change the compacted RESULT
+          val compactedOrd =
+            try JsonLdApi.compactPreExpanded(expanded.deepCopy.asArr.get,
+              Some(JObj("@context" -> ctx.deepCopy)), opts.copy(ordered = true))
+            catch { case e: JsonLdError =>
+              fail(s"ctx=$label ordered=true: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc)}") }
+          assert(JsonEq.jsonLdEq(compactedOrd, compacted, ordered = false),
+            s"ctx=$label: ordered compaction changed the RESULT\ndoc: ${JsonWriter.write(doc)}\nordered:   ${JsonWriter.write(compactedOrd)}\nunordered: ${JsonWriter.write(compacted)}")
         }
       }
       // 3. toRdf ∘ fromRdf identity
