@@ -151,7 +151,16 @@ class PropertySpec extends AnyFunSuite {
       "scoped-null" -> JObj("sn" -> JObj("@id" -> JStr("http://p/2"), "@context" -> JNull)),
       "type-scoped" -> JObj("TT" -> JObj("@id" -> JStr("http://b/x"),
         "@context" -> JObj("p1" -> JStr("http://p/1")))),
-      "prefix" -> JObj("pfx" -> JObj("@id" -> JStr("http://p/"), "@prefix" -> JBool(true))))
+      "prefix" -> JObj("pfx" -> JObj("@id" -> JStr("http://p/"), "@prefix" -> JBool(true))),
+      // @base relativization: compaction emits RELATIVE @id values against
+      // the context @base (compactToRelative default), re-expansion must
+      // resolve them back — exercises makeRelative∘resolve through the full
+      // compaction path ("relative-IRI docs with matched bases")
+      "base-rel" -> JObj("@base" -> JStr("http://b/"), "@vocab" -> JStr("http://p/")),
+      // base equal to a generated IRI: makeRelative(self) = "" (the
+      // empty-reference corner) and "http://c/y#f" relativizes to "#f"
+      "base-self" -> JObj("@base" -> JStr("http://d/p")),
+      "base-frag" -> JObj("@base" -> JStr("http://c/y")))
     def canon(ts: Vector[Triple]): String = BnodeCanon.toCanonicalNQuads(ts)
     def mergedCanon(ts: Vector[Triple]): String =
       BnodeCanon.toCanonicalNQuads(ts.map(_.copy(graph = "")).distinct)
@@ -216,6 +225,18 @@ class PropertySpec extends AnyFunSuite {
       val qN2 = ToRdf.toRdf(JsonLdApi.fromRdf(qN1, optsN), optsN)
       assert(canon(qN2) == canon(qN1),
         s"toRdf∘fromRdf not convergent under useNativeTypes\ndoc: ${JsonWriter.write(doc)}\ntrip1:\n${canon(qN1)}\ntrip2:\n${canon(qN2)}")
+      // 3c. rdfDirection options-grid legs: direction-bearing literals are
+      //     rewritten to i18n datatypes / compound-literal bnodes on the way
+      //     out; fromRdf under the same mode must reconstruct them so a
+      //     second toRdf reproduces the exact dataset
+      for (dirMode <- Seq("i18n-datatype", "compound-literal")) {
+        val optsD = opts.copy(rdfDirection = Some(dirMode))
+        val tD = ToRdf.toRdf(expanded.deepCopy.asArr.get, optsD)
+        val qD = canon(tD)
+        val qDBack = canon(ToRdf.toRdf(JsonLdApi.fromRdf(tD, optsD), optsD))
+        assert(qDBack == qD,
+          s"rdfDirection=$dirMode: toRdf∘fromRdf not identity\ndoc: ${JsonWriter.write(doc)}\nin:\n$qD\nback:\n$qDBack")
+      }
       // 4. wildcard framing preserves the merged graph
       val framed = JsonLdApi.frame(JsonLdInput.Doc(expanded.deepCopy), new JObj(), opts)
       val qFrame = mergedCanon(ToRdf.toRdf(JsonLdApi.expand(JsonLdInput.Doc(framed), opts), opts))
