@@ -75,6 +75,8 @@ class PropertySpec extends AnyFunSuite {
     1 -> Gen.zip(Gen.oneOf("s", "t"), genIriG).map { case (s, dt) =>
       JObj("@value" -> JStr(s), "@type" -> JStr(dt)) },
     1 -> Gen.const(JObj("@value" -> JStr("x"), "@direction" -> JStr("rtl"))),
+    1 -> Gen.const(JObj("@value" -> JStr("xd"), "@language" -> JStr("en"),
+      "@direction" -> JStr("ltr"))),
     1 -> Gen.const(JObj("@value" -> JStr("ix"), "@index" -> JStr("vi"))),
     // JSON literals: raw object / array / empty-array / scalar values —
     // the whole-raw-value-literalization corner (bug #12 family)
@@ -101,9 +103,13 @@ class PropertySpec extends AnyFunSuite {
     nProps <- Gen.chooseNum(0, 3)
     props <- Gen.listOfN(nProps, Gen.zip(genPropG,
       Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, genItemG(depth)))))
-    // @reverse: arrays of NODE objects only (value objects are invalid there)
+    // @reverse: arrays of NODE objects only (value objects are invalid
+    // there) — full nested nodes, so @json literals, lists, and @index can
+    // ride adjacent to the reverse edge (the @json/@reverse-adjacency
+    // candidate from the round-5 sweep notes)
     reverse <- if (depth > 0) Gen.option(Gen.zip(genPropG,
-      Gen.oneOf(genIriG, Gen.oneOf("_:n1", "_:n2")).map(i => JObj("@id" -> JStr(i)))))
+      Gen.chooseNum(1, 2).flatMap(n =>
+        Gen.listOfN(n, genNodeG(depth - 1, allowGraph = false)))))
     else Gen.const(None)
     included <- if (depth > 0) Gen.option(Gen.listOfN(1, genNodeG(0, allowGraph = false)))
     else Gen.const(None)
@@ -118,7 +124,7 @@ class PropertySpec extends AnyFunSuite {
     props.foreach { case (p, items) =>
       if (!o.contains(p)) o.put(p, JArr.from(items))
     }
-    reverse.foreach { case (p, ref) => o.put("@reverse", JObj(p -> JArr(ref))) }
+    reverse.foreach { case (p, refs) => o.put("@reverse", JObj(p -> JArr.from(refs))) }
     included.foreach(ns => o.put("@included", JArr.from(ns)))
     graph.foreach(g => o.put("@graph", JArr.from(g)))
     o
