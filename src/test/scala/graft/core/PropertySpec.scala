@@ -166,7 +166,27 @@ class PropertySpec extends AnyFunSuite {
       // base equal to a generated IRI: makeRelative(self) = "" (the
       // empty-reference corner) and "http://c/y#f" relativizes to "#f"
       "base-self" -> JObj("@base" -> JStr("http://d/p")),
-      "base-frag" -> JObj("@base" -> JStr("http://c/y")))
+      "base-frag" -> JObj("@base" -> JStr("http://c/y")),
+      // scoped-context probe widening (round-5 sweep notes): property-scoped
+      // contexts that introduce CONTAINERS, reverse terms, @json coercion,
+      // and nested scopes; a type-scoped context that opts INTO propagation
+      "ps-list" -> JObj("pl" -> JObj("@id" -> JStr("http://p/1"),
+        "@context" -> JObj("inner2" -> JObj("@id" -> JStr("http://p/2"),
+          "@container" -> JStr("@list"))))),
+      "ps-reverse" -> JObj("pr" -> JObj("@id" -> JStr("http://p/1"),
+        "@context" -> JObj("rin" -> JObj("@reverse" -> JStr("http://p/3"))))),
+      "ps-json" -> JObj("pj" -> JObj("@id" -> JStr("http://p/2"),
+        "@context" -> JObj("jd" -> JObj("@id" -> JStr("http://v/data"),
+          "@type" -> JStr("@json"))))),
+      "ps-nested" -> JObj("pn" -> JObj("@id" -> JStr("http://p/1"),
+        "@context" -> JObj("mid" -> JObj("@id" -> JStr("http://p/2"),
+          "@context" -> JObj("leaf" -> JStr("http://p/3")))))),
+      "ts-propagate" -> JObj("TT2" -> JObj("@id" -> JStr("http://b/x"),
+        "@context" -> JObj("@propagate" -> JBool(true),
+          "p2c" -> JStr("http://p/2")))),
+      "ps-idmap" -> JObj("pm" -> JObj("@id" -> JStr("http://p/3"),
+        "@context" -> JObj("im" -> JObj("@id" -> JStr("http://p/1"),
+          "@container" -> JStr("@id"))))))
     def canon(ts: Vector[Triple]): String = BnodeCanon.toCanonicalNQuads(ts)
     def mergedCanon(ts: Vector[Triple]): String =
       BnodeCanon.toCanonicalNQuads(ts.map(_.copy(graph = "")).distinct)
@@ -266,6 +286,84 @@ class PropertySpec extends AnyFunSuite {
         val invented = groundOut -- groundIn
         assert(invented.isEmpty,
           s"selective framing INVENTED statements\nframe: ${JsonWriter.write(fr)}\ndoc: ${JsonWriter.write(doc)}\n${invented.mkString("\n")}")
+      }
+    }
+  }
+
+  // --- generative frame sweep: random VALID frames against generated docs ---
+  // The framing fuzz below throws arbitrary junk at frame() and only demands
+  // no-crash; this sweep generates WELL-FORMED frames (type/id selectors,
+  // nested property frames, value patterns, @embed/@explicit/@requireAll/
+  // @omitDefault flags, @default fillers) so the invariants can be semantic:
+  //   - framing never throws on a valid (doc, frame) pair
+  //   - the framed output is expandable
+  //   - without @default anywhere, framing never INVENTS ground statements
+  //     (the bug-#5 family: value patterns must filter, not fabricate)
+  private def genFramePropG(depth: Int): Gen[JsonValue] = Gen.frequency(
+    3 -> Gen.const(JArr(new JObj())), // present-wildcard
+    1 -> Gen.const(new JArr()),       // match-none
+    2 -> (if (depth > 0) genFrameG(depth - 1).map(f => JArr(f))
+          else Gen.const(JArr(new JObj()))),
+    1 -> Gen.oneOf( // value patterns: exact, wildcard-lang, typed-wildcard
+      JArr(JObj("@value" -> JStr("s1"))),
+      JArr(JObj("@value" -> new JObj(), "@language" -> JArr(JStr("en")))),
+      JArr(JObj("@value" -> new JObj(), "@type" -> JArr(JStr("http://a/"))))),
+    1 -> Gen.const(JArr(JObj("@default" -> JStr("dflt")))))
+  private def genFrameG(depth: Int): Gen[JObj] = for {
+    typeSel <- Gen.option(Gen.oneOf[JsonValue](
+      JStr("http://b/x"),                     // concrete type selector
+      JObj("@default" -> JStr("http://b/x")), // default-type: matches any
+      new JObj(),                             // wildcard (type present)
+      new JArr()))                            // match-none
+    idSel <- Gen.option(Gen.oneOf[JsonValue](
+      JStr("http://a/"),
+      JArr(JStr("http://d/p"), JStr("http://b/x"))))
+    nProps <- Gen.chooseNum(0, 2)
+    props <- Gen.listOfN(nProps, Gen.zip(genPropG, genFramePropG(depth)))
+    embed <- Gen.option(Gen.oneOf("@once", "@always", "@never"))
+    explicit <- Gen.option(Gen.oneOf(true, false))
+    requireAll <- Gen.option(Gen.oneOf(true, false))
+    omitDefault <- Gen.option(Gen.oneOf(true, false))
+  } yield {
+    val o = new JObj()
+    idSel.foreach(v => o.put("@id", v))
+    typeSel.foreach(v => o.put("@type", v))
+    props.foreach { case (p, v) => if (!o.contains(p)) o.put(p, v) }
+    embed.foreach(e => o.put("@embed", JStr(e)))
+    explicit.foreach(e => o.put("@explicit", JBool(e)))
+    requireAll.foreach(r => o.put("@requireAll", JBool(r)))
+    omitDefault.foreach(od => o.put("@omitDefault", JBool(od)))
+    o
+  }
+  private def frameHasDefault(v: JsonValue): Boolean = v match {
+    case o: JObj => o.iterator.exists { case (k, vv) => k == "@default" || frameHasDefault(vv) }
+    case a: JArr => a.iterator.exists(frameHasDefault)
+    case _ => false
+  }
+
+  test("generative frame sweep: valid random frames are total, expandable, and never invent ground statements") {
+    val opts = JsonLdOptions(base = Some("http://base/doc"))
+    forAll(Gen.zip(genExpandedDocG, Gen.listOfN(3, genFrameG(2))), n = 200) { case (doc, frames) =>
+      val expanded = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts)
+      val groundIn: Set[Triple] = ToRdf.toRdf(expanded.deepCopy.asArr.get, opts)
+        .map(_.copy(graph = ""))
+        .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode").toSet
+      for (fr <- frames) {
+        val framed =
+          try JsonLdApi.frame(JsonLdInput.Doc(expanded.deepCopy), fr.deepCopy, opts)
+          catch { case e: JsonLdError =>
+            fail(s"framing threw ${e.render}\nframe: ${JsonWriter.write(fr)}\ndoc: ${JsonWriter.write(doc)}") }
+        val reOut =
+          try JsonLdApi.expand(JsonLdInput.Doc(framed), opts)
+          catch { case e: JsonLdError =>
+            fail(s"framed output not expandable: ${e.render}\nframe: ${JsonWriter.write(fr)}\nframed: ${JsonWriter.write(framed)}") }
+        if (!frameHasDefault(fr)) {
+          val groundOut = ToRdf.toRdf(reOut, opts).map(_.copy(graph = ""))
+            .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode").toSet
+          val invented = groundOut -- groundIn
+          assert(invented.isEmpty,
+            s"framing INVENTED ground statements\nframe: ${JsonWriter.write(fr)}\ndoc: ${JsonWriter.write(doc)}\n${invented.mkString("\n")}")
+        }
       }
     }
   }
