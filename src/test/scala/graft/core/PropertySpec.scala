@@ -197,6 +197,42 @@ class PropertySpec extends AnyFunSuite {
       // 1. flatten
       val qFlat = canon(ToRdf.toRdf(Flatten.flattenExpanded(expanded.deepCopy.asArr.get), opts))
       assert(qFlat == qIn, s"flatten changed the graph\ndoc: ${JsonWriter.write(doc)}\nin:\n$qIn\nflat:\n$qFlat")
+      // 1b. ordered expansion must produce the same RESULT (set-equal) on
+      //     generated docs — any divergence is insertion-order-dependent
+      //     semantics (mirrors the fixture ordered-equivalence sweep)
+      val expandedOrd = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts.copy(ordered = true))
+      assert(JsonEq.jsonLdEq(expandedOrd, expanded, ordered = false),
+        s"ordered expansion changed the RESULT\ndoc: ${JsonWriter.write(doc)}\nordered:   ${JsonWriter.write(expandedOrd)}\nunordered: ${JsonWriter.write(expanded)}")
+      // 1c. frameExpansion on an ordinary document may keep extra tree
+      //     shape but must never change the GRAPH (sweep-8 analog)
+      val expandedFr = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts.copy(frameExpansion = true))
+      val qFr = canon(ToRdf.toRdf(expandedFr, opts))
+      assert(qFr == qIn,
+        s"frameExpansion changed the graph of an ordinary generated doc\ndoc: ${JsonWriter.write(doc)}\nin:\n$qIn\nframeExp:\n$qFr")
+      // 1d. the FLATTENED form (issuer-relabeled top-level array, named
+      //     graphs as @graph nodes) must stay graph-preserving under
+      //     compaction too (sweep-6 analog; bounded probe subset)
+      val flattenedForCompact = Flatten.flattenExpanded(expanded.deepCopy.asArr.get)
+      val flattenProbes = Set("vocab", "list", "graph-ctr", "ps-nested", "base-rel")
+      for ((label, ctx) <- probeContexts if flattenProbes(label)) {
+        val cOpt =
+          try Some(JsonLdApi.compactPreExpanded(flattenedForCompact.deepCopy.asArr.get,
+            Some(JObj("@context" -> ctx.deepCopy)), opts))
+          catch {
+            case e: JsonLdError if e.code == ErrorCode.IRIConfusedWithPrefix => None
+            case e: JsonLdError =>
+              fail(s"flatten+ctx=$label: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc)}")
+          }
+        cOpt.foreach { c =>
+          val re =
+            try JsonLdApi.expand(JsonLdInput.Doc(c), opts)
+            catch { case e: JsonLdError =>
+              fail(s"flatten+ctx=$label: re-expansion threw ${e.render}\ncompacted: ${JsonWriter.write(c)}") }
+          val qRe = canon(ToRdf.toRdf(re, opts))
+          assert(qRe == qIn,
+            s"flatten+ctx=$label: graph changed\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(c)}\nin:\n$qIn\nre:\n$qRe")
+        }
+      }
       // 2. compaction round-trips
       for ((label, ctx) <- probeContexts) {
         val compactedOpt =
