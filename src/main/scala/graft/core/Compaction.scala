@@ -125,7 +125,14 @@ object Compaction {
         for (property <- keys)
           activeContext.termDefinitions.get(property).foreach { td =>
             if (td.reverseProperty) {
-              val asArray = td.containerMapping.isSet || !options.compactArrays
+              // Compaction 12.2.2.1.1, with a map-container carve-out the
+              // literal spec text lacks: a reverse term with an @index
+              // container compacts to a MAP — array-wrapping it (under
+              // compactArrays=false) makes re-expansion read the map as a
+              // node object and silently drop every entry (engine bug #18,
+              // generative-sweep wave F). Only array-shaped values wrap.
+              val asArray = !td.containerMapping.isIndex &&
+                (td.containerMapping.isSet || !options.compactArrays)
               addValue(result, property, compactedValue.removeKey(property).get, asArray)
             }
           }

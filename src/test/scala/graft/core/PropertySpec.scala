@@ -133,6 +133,72 @@ class PropertySpec extends AnyFunSuite {
     Gen.chooseNum(1, 3).flatMap(n =>
       Gen.listOfN(n, genNodeG(2, allowGraph = true))).map(JArr.from(_))
 
+  // --- generated probe CONTEXTS: random VALID term definitions ---
+  // The hand-written probe contexts above each pin one feature; this
+  // generator composes them (containers incl. @graph combos, @id/@vocab/
+  // @json/@none coercions, language+direction defaults, reverse terms,
+  // prefix terms, term-selection collisions when several terms map to the
+  // same IRI) so compaction's term-selection machinery is exercised on
+  // combinations no fixture spells out. Only VALID shapes are generated:
+  // @container @type limits coercion to @id/@vocab, language/direction
+  // never combine with a type coercion, @prefix rides a /-terminated IRI.
+  private val genTermNameG: Gen[String] = Gen.oneOf("t1", "t2", "u", "ex", "K")
+  private val genCtxTermG: Gen[JsonValue] = for {
+    iri <- Gen.oneOf("http://p/1", "http://p/2", "http://p/3", "http://v/data", "http://b/x", "http://p/")
+    kind <- Gen.chooseNum(0, 9)
+    defn <- kind match {
+      case 0 | 1 => Gen.const(JStr(iri): JsonValue)
+      case 2 => Gen.const(JObj("@reverse" -> JStr(iri)): JsonValue)
+      case 3 => Gen.oneOf("@set", "@index").map(c =>
+        JObj("@reverse" -> JStr(iri), "@container" -> JStr(c)): JsonValue)
+      case 4 => Gen.const(JObj("@id" -> JStr("http://p/"), "@prefix" -> JBool(true)): JsonValue)
+      case _ =>
+        for {
+          container <- Gen.option(Gen.oneOf[JsonValue](
+            JStr("@list"), JStr("@set"), JStr("@index"), JStr("@id"), JStr("@type"),
+            JStr("@language"), JStr("@graph"),
+            JArr(JStr("@graph"), JStr("@id")), JArr(JStr("@graph"), JStr("@index")),
+            JArr(JStr("@id"), JStr("@set")), JArr(JStr("@graph"), JStr("@id"), JStr("@set"))))
+          cKey = container.map(JsonWriter.write).getOrElse("")
+          coercion <-
+            if (cKey.contains("@type"))
+              Gen.oneOf[Option[JsonValue]](Some(JStr("@id")), Some(JStr("@vocab")), None)
+            else if (cKey.contains("@language")) Gen.const(None: Option[JsonValue])
+            else Gen.option(Gen.oneOf[JsonValue](
+              JStr("@id"), JStr("@vocab"), JStr("@json"), JStr("@none"), JStr("http://a/")))
+          lang <- if (coercion.isEmpty && !cKey.contains("@type") && !cKey.contains("@language"))
+              Gen.option(Gen.oneOf[JsonValue](JStr("en"), JStr("de-DE"), JNull))
+            else Gen.const(None: Option[JsonValue])
+          dir <- if (coercion.isEmpty && !cKey.contains("@type") && !cKey.contains("@language"))
+              Gen.option(Gen.oneOf[JsonValue](JStr("rtl"), JNull))
+            else Gen.const(None: Option[JsonValue])
+        } yield {
+          val o = JObj("@id" -> JStr(iri))
+          container.foreach(c => o.put("@container", c.deepCopy))
+          coercion.foreach(t => o.put("@type", t))
+          lang.foreach(l => o.put("@language", l))
+          dir.foreach(d => o.put("@direction", d))
+          o: JsonValue
+        }
+    }
+  } yield defn
+  private val genCtxG: Gen[JObj] = for {
+    n <- Gen.chooseNum(1, 3)
+    terms <- Gen.listOfN(n, Gen.zip(genTermNameG, genCtxTermG))
+    vocab <- Gen.option(Gen.oneOf[JsonValue](JStr("http://p/"), JStr("http://qv/")))
+    lang <- Gen.option(Gen.const(JStr("de")))
+    dir <- Gen.option(Gen.const(JStr("ltr")))
+    base <- Gen.option(Gen.const(JStr("http://b/")))
+  } yield {
+    val o = new JObj()
+    vocab.foreach(v => o.put("@vocab", v))
+    lang.foreach(l => o.put("@language", l))
+    dir.foreach(d => o.put("@direction", d))
+    base.foreach(b => o.put("@base", b))
+    terms.foreach { case (k, v) => o.put(k, v) }
+    o
+  }
+
   test("generative sweep: random valid expanded documents hold the flatten/compact/fromRdf/frame invariants") {
     val opts = JsonLdOptions(base = Some("http://base/doc"))
     val probeContexts: Vector[(String, JObj)] = Vector(
@@ -190,7 +256,12 @@ class PropertySpec extends AnyFunSuite {
     def canon(ts: Vector[Triple]): String = BnodeCanon.toCanonicalNQuads(ts)
     def mergedCanon(ts: Vector[Triple]): String =
       BnodeCanon.toCanonicalNQuads(ts.map(_.copy(graph = "")).distinct)
-    forAll(genExpandedDocG, n = 250) { doc =>
+    forAll(Gen.zip(genExpandedDocG, Gen.listOfN(2, genCtxG)), n = 250) { case (doc, genCtxs) =>
+      // per-doc probe set: the fixed feature probes + two GENERATED contexts
+      // (term-selection/coercion/container combinations — wave F)
+      val probeContextsAll = probeContexts ++ genCtxs.zipWithIndex.map { case (c, i) =>
+        s"gen-$i ${JsonWriter.write(c)}" -> c
+      }
       val expanded = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts)
       val triples = ToRdf.toRdf(expanded.deepCopy.asArr.get, opts)
       val qIn = canon(triples)
@@ -234,7 +305,7 @@ class PropertySpec extends AnyFunSuite {
         }
       }
       // 2. compaction round-trips
-      for ((label, ctx) <- probeContexts) {
+      for ((label, ctx) <- probeContextsAll) {
         val compactedOpt =
           try Some(JsonLdApi.compactPreExpanded(expanded.deepCopy.asArr.get,
             Some(JObj("@context" -> ctx.deepCopy)), opts))
