@@ -353,7 +353,35 @@ object Bench {
     // first attempt gets 210 s (calm-window ready is 100-150 s); a failed
     // probe gets ONE respawn below, so the watchdog no longer needs to
     // cover the slow tail alone
-    val handleN = if (mainElapsed < 320.0) startProbe(1, 210L) else None
+    // JVM-SPAWN CANARY (round-5 live finding): the host has a mode lasting
+    // an hour+ where NEW JVMs stall in heap pretouch (probe executor JVMs
+    // launch and then never register — their 3g -Xms pretouch runs 10-30×
+    // slow) while plain forks and warm in-JVM compute stay fast. Three full
+    // Bench runs died to it: 370+ s lost waiting on probes, no budget left
+    // for the headline, NO JSON for the driver. Measure the actual failing
+    // operation — a 1g-pretouch JVM boot (healthy < 1 s on this box;
+    // the degraded mode implies ≥ 70 s/GiB) — and skip ALL multi-JVM phases
+    // (serve probes, engine-ceiling legs) when it is slow: the in-JVM
+    // thread-proxy fallback supplies scaling evidence and the headline/
+    // pipeline JSON always emits. A slow first reading gets one confirming
+    // retry (windows flip on second timescales here).
+    def spawnCanary(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        // -version output is tiny (no pipe-fill risk); bounded wait, then kill
+        val p = new ProcessBuilder("java", "-Xms1g", "-Xmx1g", "-XX:+AlwaysPreTouch", "-version")
+          .redirectErrorStream(true).start()
+        p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+        if (p.isAlive) p.destroyForcibly()
+      } catch { case scala.util.control.NonFatal(_) => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canarySec = { val a = spawnCanary(); if (a <= 5.0) a else math.min(a, spawnCanary()) }
+    val spawnDegraded = canarySec > 5.0
+    if (spawnDegraded)
+      note(f"spawn canary $canarySec%.1fs — window is spawn-degraded, skipping multi-JVM phases")
+    else note(f"spawn canary $canarySec%.1fs")
+    val handleN = if (!spawnDegraded && mainElapsed < 320.0) startProbe(1, 210L) else None
     val handle4 = if (handleN.isDefined) startProbe(4, 210L) else None
     // await both CONCURRENTLY: a blocked await on one probe would let the
     // other's merged log output fill its 64 KB pipe and stall that JVM
@@ -372,7 +400,7 @@ object Bench {
     // straight up. Budget-capped so the worst case (respawn also fails at
     // t≈230+150=380) leaves the same headline start time as the old single
     // 300 s watchdog + round tail; never attempted late.
-    if ((probeN.isEmpty || probe4.isEmpty) && mainElapsed < 240.0) {
+    if (!spawnDegraded && (probeN.isEmpty || probe4.isEmpty) && mainElapsed < 240.0) {
       val cap = math.min(150L, (390.0 - mainElapsed).toLong)
       note(f"respawning failed probes (n=${probeN.isEmpty} 4n=${probe4.isEmpty}) cap=${cap}s")
       val hN = if (probeN.isEmpty) startProbe(1, cap) else None
@@ -434,9 +462,18 @@ object Bench {
     // TIMED AS WINDOW EVIDENCE: healthy warmup ≈ 25 s; the r04 voided
     // headline's warmup ran 67 s — warmup time is a degraded-window tell the
     // steal counter misses.
+    // BUDGET BACKSTOP (round-5 live finding, three lost artifacts): when the
+    // probe phase already ate the budget AND the window is compute-degraded,
+    // the remaining sections must shed load so the JSON line still emits —
+    // a trimmed artifact with suspect=true beats the driver reading nothing.
+    // Kernel warmup is skipped deep in the budget (first-measured-query cost
+    // lands on queries the trimmed core set mostly drops anyway).
+    val deepBudget = mainElapsed > 430.0
+    if (deepBudget) note("deep in budget: trimming warmup to the session warm only")
     val warmT0 = System.nanoTime()
     try {
       spark.range(1000).selectExpr("sum(id)").count()
+      if (!deepBudget) {
       all.get("q01_agg_pricing").foreach(fn => fn(spark, sfDir).count())
       // tiny-sample kernel warmup: UDF classload + codegen for the minhash /
       // simhash / vector expressions otherwise lands entirely on the FIRST
@@ -451,6 +488,7 @@ object Bench {
       // (a bare limit is not)
       val embSample = spark.read.parquet(s"$sfDir/embeddings.parquet").orderBy("vec_id").limit(64)
       graft.ops.SimilarityOps.lshTopK(embSample, embSample.limit(4), "vec_id", "embedding", k = 2).count()
+      }
     } catch {
       // NonFatal only: an OOM/linkage error here must surface now, not
       // resurface confusingly inside the first timed query
@@ -488,11 +526,21 @@ object Bench {
       def windowSuspect: Boolean = (!steal.isNaN && steal > CleanSteal) ||
         (sfDir.contains("0.1") && ((windowDegraded && totalSec > 30.0) || totalSec > 45.0))
     }
+    // core-set trim: post-warmup, if the run is already deep in budget (a
+    // failed probe phase + a degraded warmup), measure a 5-query core —
+    // one representative per family — instead of all 14, and mark the
+    // headline suspect. The full-set totals are NOT comparable to a trimmed
+    // total; `trimmed` in the headline block says which this artifact is.
+    val trimmedHeadline = mainElapsed > 430.0
+    val headlineSet =
+      if (!trimmedHeadline) headline
+      else Vector("q01_agg_pricing", "q04_join_multi", "d04_minhash_lsh", "e02_ann_lsh", "j01_expand_triples")
+    if (trimmedHeadline) note(s"deep in budget: headline trimmed to ${headlineSet.size} queries")
     def runHeadline(): HeadlineAttempt = {
       val hw = hwProbe()
       val s0 = StealMeter.snap()
       val t0 = System.nanoTime()
-      val results = headline.flatMap { name =>
+      val results = headlineSet.flatMap { name =>
         all.get(name).map { fn =>
           val q0 = System.nanoTime()
           try fn(spark, sfDir).count()
@@ -509,7 +557,8 @@ object Bench {
     // retry when the attempt's own window was degraded (even with a healthy
     // total — a cleaner window usually reads lower still), or the warmup
     // window was degraded AND the total looks inflated
-    val wantRetry = attempt1.windowDegraded || (warmupSuspect && attempt1.totalSec > 30.0)
+    val wantRetry = !trimmedHeadline &&
+      (attempt1.windowDegraded || (warmupSuspect && attempt1.totalSec > 30.0))
     // predictive budget: the retry (hw probe ~8 s + the attempt's own wall
     // time with drift margin) plus the pipeline + JSON tail (~45 s) must fit
     val retryFits = mainElapsed + 8.0 + attempt1.wallSec * 1.25 + 45.0 < 560.0
@@ -529,15 +578,17 @@ object Bench {
     val headlineSteal = chosen.steal
     // the chosen attempt's OWN window evidence; the warmup tell only taints
     // a first attempt that also reads slow (a clean retry clears it)
-    val headlineSuspect = chosen.windowSuspect ||
+    val headlineSuspect = trimmedHeadline || chosen.windowSuspect ||
       (attempts == 1 && warmupSuspect && chosen.totalSec > 30.0)
     note(f"headline done (attempts=$attempts steal=$headlineSteal%.3f hw=${chosen.hw}%.2f suspect=$headlineSuspect)")
 
-    // pipeline throughput at the benchmark parallelism
-    val (tPipe, nTriples) = pipelineRun(spark, 40000, cpus)
+    // pipeline throughput at the benchmark parallelism — skipped when the
+    // remaining budget cannot pay for it (JSON emission is the priority)
+    val (tPipe, nTriples) =
+      if (mainElapsed < 505.0) pipelineRun(spark, 40000, cpus) else (Double.NaN, 0L)
     val triplesPerSec = nTriples / tPipe
     spark.stop()
-    note("pipeline done")
+    note(if (tPipe.isNaN) "pipeline skipped (budget)" else "pipeline done")
 
     // lower-middle for even counts: with 2 surviving rounds the ratio
     // "median" must not silently become the max. For the per-LEG medians the
@@ -585,7 +636,7 @@ object Bench {
       // can't beat 4× one JVM) and < ~0.15 means the 4-proc leg hit a
       // pathological window — both report as null rather than poison the
       // quotient. Skipped entirely if the rounds already ate the budget.
-      if (mainElapsed < 400.0) {
+      if (!spawnDegraded && mainElapsed < 400.0) {
         engN = engLeg(1, 540.0 - mainElapsed)
         if (mainElapsed < 480.0) eng4 = engLeg(4, 550.0 - mainElapsed)
         val r = (engN / eng4) / 4.0
@@ -646,17 +697,17 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    val pipe = f"""{"docs":40000,"triples":$nTriples,"sec":$tPipe%.3f,"triples_per_sec":$triplesPerSec%.1f}"""
     def jd(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
+    val pipe = s"""{"docs":40000,"triples":$nTriples,"sec":${jd(tPipe)},"triples_per_sec":${jd(triplesPerSec)}}"""
     val roundsJson = rounds.map { r =>
       s"""{"cluster_n_sec":${jd(r.t1)},"cluster_4n_sec":${jd(r.t4)},"efficiency":${jd(r.ratio)},"hw_ceiling":${jd(r.hw)},"steal_n":${jd(r.s1)},"steal_4n":${jd(r.s4)},"clean":${r.clean}}"""
     }.mkString("[", ",", "]")
-    val scaling = s"""{"mode":"$mode","executors_n":1,"executors_4n":4,"cores_per_executor":8,"docs":${if (mode == "local-cluster-executors") clusterProbeDocs else 300000},"t_n_sec":${jd(t1x)},"t_4n_sec":${jd(t4x)},"efficiency_n_to_4n":${jd(efficiency)},"suspect":$suspect,"rounds":$roundsJson,"rounds_dropped":${dropped.size},"clean_rounds":${clean.size},"clean_steal_bound":$CleanSteal,"hw_ceiling_8_to_32_threads":${jd(hwCeiling)},"hw_ceiling_median_round":${jd(hwRoundCeiling)},"hw_normalized_efficiency":${jd(hwNormalized)},"engine_n_sec":${jd(engN)},"engine_4n_sec":${jd(eng4)},"engine_ceiling_1x8_vs_4x8_jvms":${jd(engCeiling)},"spark_layer_efficiency":${jd(sparkLayer)}}"""
+    val scaling = s"""{"mode":"$mode","executors_n":1,"executors_4n":4,"cores_per_executor":8,"docs":${if (mode == "local-cluster-executors") clusterProbeDocs else 300000},"t_n_sec":${jd(t1x)},"t_4n_sec":${jd(t4x)},"efficiency_n_to_4n":${jd(efficiency)},"suspect":$suspect,"spawn_canary_sec":${jd(canarySec)},"spawn_degraded":$spawnDegraded,"rounds":$roundsJson,"rounds_dropped":${dropped.size},"clean_rounds":${clean.size},"clean_steal_bound":$CleanSteal,"hw_ceiling_8_to_32_threads":${jd(hwCeiling)},"hw_ceiling_median_round":${jd(hwRoundCeiling)},"hw_normalized_efficiency":${jd(hwNormalized)},"engine_n_sec":${jd(engN)},"engine_4n_sec":${jd(eng4)},"engine_ceiling_1x8_vs_4x8_jvms":${jd(engCeiling)},"spark_layer_efficiency":${jd(sparkLayer)}}"""
     // headline window certification block (round-4 judge item 1): the same
     // evidence the scaling rounds carry, attached to the headline itself —
     // the hw probe sampled immediately before the chosen attempt, the steal
     // share during it, the warmup duration, and the suspect verdict
-    val headlineJson = s"""{"warmup_sec":${jd(warmupSec)},"attempts":$attempts,"hw_probe":${jd(chosen.hw)},"steal":${jd(chosen.steal)},"attempt1_total_sec":${jd(attempt1.totalSec)},"suspect":$headlineSuspect}"""
+    val headlineJson = s"""{"warmup_sec":${jd(warmupSec)},"attempts":$attempts,"hw_probe":${jd(chosen.hw)},"steal":${jd(chosen.steal)},"attempt1_total_sec":${jd(attempt1.totalSec)},"trimmed":$trimmedHeadline,"suspect":$headlineSuspect}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_steal":${jd(headlineSteal)},"headline":$headlineJson,"pipeline":$pipe,"scaling":$scaling}"""
     // bare-JSON file: sbt prefixes stdout with [info]/[error], which broke the
     // driver's tail-scrape in round 1 ("parsed": null) — a known file never does
