@@ -150,16 +150,27 @@ object Compaction {
         result.put(alias, expandedValue)
       case _ =>
         val expandedValueArray = expandedValue.asArr.get
+        // @nest routing is suppressed INSIDE a @reverse map (engine bug #19,
+        // generative sweep wave G): a nest-decorated term selected for a
+        // reverse-positioned property would put an "@nest" key inside the
+        // reverse map, which re-expansion rejects as `invalid reverse
+        // property map` — the literal spec text (12.7.2/12.8.1) does not
+        // carve this out, but a reverse map admits only property keys.
+        val inReverseMap = activeProperty.contains("@reverse")
         if (expandedValueArray.isEmpty) {
           val itemActiveProperty = compactIri(activeContext, expandedProperty, options,
-            Some(expandedValueArray), vocab = true, reverse = activeProperty.contains("@reverse"))
-          val nestResult = getNestResult(activeContext, itemActiveProperty, result)
+            Some(expandedValueArray), vocab = true, reverse = inReverseMap)
+          val nestResult =
+            if (inReverseMap) result
+            else getNestResult(activeContext, itemActiveProperty, result)
           addValue(nestResult, itemActiveProperty, expandedValueArray, asArray = true)
         } else {
           expandedValueArray.foreach { expandedItem =>
             val itemActiveProperty = compactIri(activeContext, expandedProperty, options,
-              Some(expandedItem), vocab = true, reverse = activeProperty.contains("@reverse"))
-            val nestResult = getNestResult(activeContext, itemActiveProperty, result)
+              Some(expandedItem), vocab = true, reverse = inReverseMap)
+            val nestResult =
+              if (inReverseMap) result
+              else getNestResult(activeContext, itemActiveProperty, result)
             compactItem(activeContext, itemActiveProperty, nestResult, expandedItem, state)
           }
         }

@@ -145,13 +145,31 @@ class PropertySpec extends AnyFunSuite {
   private val genTermNameG: Gen[String] = Gen.oneOf("t1", "t2", "u", "ex", "K")
   private val genCtxTermG: Gen[JsonValue] = for {
     iri <- Gen.oneOf("http://p/1", "http://p/2", "http://p/3", "http://v/data", "http://b/x", "http://p/")
-    kind <- Gen.chooseNum(0, 9)
+    kind <- Gen.chooseNum(0, 12)
     defn <- kind match {
       case 0 | 1 => Gen.const(JStr(iri): JsonValue)
       case 2 => Gen.const(JObj("@reverse" -> JStr(iri)): JsonValue)
       case 3 => Gen.oneOf("@set", "@index").map(c =>
         JObj("@reverse" -> JStr(iri), "@container" -> JStr(c)): JsonValue)
       case 4 => Gen.const(JObj("@id" -> JStr("http://p/"), "@prefix" -> JBool(true)): JsonValue)
+      // property-scoped context inside a generated term (wave G); wave H
+      // lets the scoped name COLLIDE with an outer term name (t1/u) so a
+      // protected outer term is sometimes redefined — identical redefs must
+      // pass, differing ones must reject loudly (never corrupt)
+      case 5 => for {
+        iri2 <- Gen.oneOf("http://p/2", "http://p/3", "http://v/data")
+        subName <- Gen.oneOf("s1", "s2", "inner", "t1", "u")
+        subDef <- Gen.frequency[JsonValue](
+          2 -> Gen.const(JStr(iri2)),
+          1 -> Gen.const(JObj("@id" -> JStr(iri2), "@container" -> JStr("@list"))),
+          1 -> Gen.const(JObj("@id" -> JStr(iri2), "@type" -> JStr("@json"))))
+      } yield JObj("@id" -> JStr(iri), "@context" -> JObj(subName -> subDef)): JsonValue
+      // @nest routing: compacted term rides under the "@nest" bucket
+      case 6 => Gen.const(JObj("@id" -> JStr(iri), "@nest" -> JStr("@nest")): JsonValue)
+      // type-scoped context: term maps to a TYPE IRI the doc generator
+      // emits, its scoped ctx re-terms properties of matching nodes
+      case 7 => Gen.oneOf("http://p/1", "http://p/2").map(i2 =>
+        JObj("@id" -> JStr("http://b/x"), "@context" -> JObj("tsub" -> JStr(i2))): JsonValue)
       case _ =>
         for {
           container <- Gen.option(Gen.oneOf[JsonValue](
@@ -189,12 +207,24 @@ class PropertySpec extends AnyFunSuite {
     lang <- Gen.option(Gen.const(JStr("de")))
     dir <- Gen.option(Gen.const(JStr("ltr")))
     base <- Gen.option(Gen.const(JStr("http://b/")))
+    // keyword aliases (wave G): compaction must emit through the alias and
+    // re-expansion must honor it — @none aliases rewrite index-map keys
+    alias <- Gen.option(Gen.oneOf[(String, String)](
+      "idA" -> "@id", "typA" -> "@type", "revA" -> "@reverse",
+      "grA" -> "@graph", "nstA" -> "@nest", "noneA" -> "@none"))
+    // wave H: protect every term in the context — compaction itself never
+    // checks protection, but scoped contexts inside generated terms (case 5
+    // collisions) now hit the redefinition check on both the compaction and
+    // the re-expansion side, which must agree
+    prot <- Gen.option(Gen.const(JBool(true)))
   } yield {
     val o = new JObj()
     vocab.foreach(v => o.put("@vocab", v))
     lang.foreach(l => o.put("@language", l))
     dir.foreach(d => o.put("@direction", d))
     base.foreach(b => o.put("@base", b))
+    prot.foreach(p => o.put("@protected", p))
+    alias.foreach { case (k, kw) => o.put(k, JStr(kw)) }
     terms.foreach { case (k, v) => o.put(k, v) }
     o
   }
@@ -311,14 +341,29 @@ class PropertySpec extends AnyFunSuite {
             Some(JObj("@context" -> ctx.deepCopy)), opts))
           catch {
             case e: JsonLdError if e.code == ErrorCode.IRIConfusedWithPrefix => None
+            // wave H: generated scoped contexts may redefine a protected
+            // outer term — a loud reject is the spec'd outcome.
+            case e: JsonLdError if e.code == ErrorCode.ProtectedTermRedefinition => None
             case e: JsonLdError =>
               fail(s"ctx=$label: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc)}")
           }
         compactedOpt.foreach { compacted =>
-          val re =
-            try JsonLdApi.expand(JsonLdInput.Doc(compacted), opts)
-            catch { case e: JsonLdError =>
-              fail(s"ctx=$label: re-expansion threw ${e.render}\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}") }
+          // SPEC ASYMMETRY (wave-H finding, adjudicated against the
+          // reference expand.rs:105 vs :152 and the spec's literal text):
+          // property-scoped contexts are processed with overrideProtected on
+          // the MAP path (expansion step 13ff) but NOT on the SCALAR path
+          // (step 8.2) — while COMPACTION always overrides (12.x). So
+          // compaction can route a scalar under a scoped-context term whose
+          // scoped context redefines a protected term, and re-expansion of
+          // that scalar rejects loudly. The reject is engine-correct; skip.
+          val reOpt =
+            try Some(JsonLdApi.expand(JsonLdInput.Doc(compacted), opts))
+            catch {
+              case e: JsonLdError if e.code == ErrorCode.ProtectedTermRedefinition => None
+              case e: JsonLdError =>
+                fail(s"ctx=$label: re-expansion threw ${e.render}\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}")
+            }
+          reOpt.foreach { re =>
           val qRe = canon(ToRdf.toRdf(re, opts))
           assert(qRe == qIn,
             s"ctx=$label: graph changed through compaction\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}\nin:\n$qIn\nre:\n$qRe")
@@ -345,6 +390,7 @@ class PropertySpec extends AnyFunSuite {
               fail(s"ctx=$label ordered=true: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc)}") }
           assert(JsonEq.jsonLdEq(compactedOrd, compacted, ordered = false),
             s"ctx=$label: ordered compaction changed the RESULT\ndoc: ${JsonWriter.write(doc)}\nordered:   ${JsonWriter.write(compactedOrd)}\nunordered: ${JsonWriter.write(compacted)}")
+          }
         }
       }
       // 3. toRdf ∘ fromRdf identity
@@ -393,6 +439,205 @@ class PropertySpec extends AnyFunSuite {
         val invented = groundOut -- groundIn
         assert(invented.isEmpty,
           s"selective framing INVENTED statements\nframe: ${JsonWriter.write(fr)}\ndoc: ${JsonWriter.write(doc)}\n${invented.mkString("\n")}")
+      }
+    }
+  }
+
+  // --- wave H: generated COMPACT-FORM input documents ---
+  // Every other sweep enters through EXPANDED-form docs, so Expansion's
+  // author-facing readers (language/index/id/type container maps, term-keyed
+  // lists, @nest hoisting, keyword aliases, null-dropped members,
+  // relative-IRI resolution, default @language) are exercised only by
+  // fixtures. This generator produces VALID compact-form documents against a
+  // feature-dense context; expansion must ACCEPT them (a throw is a
+  // generator bug or an engine bug — either way a failure), and the result
+  // must hold the semantic invariants.
+  private val compactDocCtx: JObj = JObj(
+    "@vocab" -> JStr("http://p/"),
+    "@base" -> JStr("http://b/dir/doc"),
+    "@language" -> JStr("en"),
+    "lm" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@language")),
+    "ix" -> JObj("@id" -> JStr("http://p/2"), "@container" -> JStr("@index")),
+    "pix" -> JObj("@id" -> JStr("http://p/5"), "@container" -> JStr("@index"),
+      "@index" -> JStr("http://p/prop")),
+    "idm" -> JObj("@id" -> JStr("http://p/3"), "@container" -> JStr("@id")),
+    "tm" -> JObj("@id" -> JStr("http://p/4"), "@container" -> JStr("@type")),
+    "lst" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@list")),
+    "iri" -> JObj("@id" -> JStr("http://p/2"), "@type" -> JStr("@id")),
+    "typed" -> JObj("@id" -> JStr("http://p/3"), "@type" -> JStr("http://a/")),
+    "jd" -> JObj("@id" -> JStr("http://v/data"), "@type" -> JStr("@json")),
+    "pfx" -> JObj("@id" -> JStr("http://p/"), "@prefix" -> JBool(true)),
+    "gc" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@graph")),
+    "rt" -> JObj("@reverse" -> JStr("http://p/2")),
+    "nst" -> JObj("@id" -> JStr("http://p/3"), "@nest" -> JStr("meta")),
+    "meta" -> JStr("@nest"),
+    "idA" -> JStr("@id"), "tA" -> JStr("@type"), "vA" -> JStr("@value"),
+    "lA" -> JStr("@language"))
+  private val genCScalarG: Gen[JsonValue] = Gen.oneOf[JsonValue](
+    JStr("a"), JStr(""), JNum(2.5), JNum(-7.0), JBool(true))
+  private val genCValueObjG: Gen[JsonValue] = Gen.oneOf[JsonValue](
+    JObj("@value" -> JStr("v1"), "@language" -> JStr("de")),
+    JObj("@value" -> JStr("v2"), "@direction" -> JStr("rtl")),
+    JObj("@value" -> JStr("v3"), "@type" -> JStr("http://a/")),
+    JObj("@value" -> JNum(1.0), "@index" -> JStr("vi")),
+    // aliased keyword keys inside a value object
+    JObj("vA" -> JStr("v4"), "lA" -> JStr("ar")))
+  private def genCEntryG(depth: Int): Gen[(String, JsonValue)] = {
+    val nodeG: Gen[JsonValue] =
+      if (depth > 0) genCNodeG(depth - 1).map(n => n: JsonValue)
+      else Gen.oneOf[JsonValue](JObj("@id" -> JStr("http://a/leaf")), JObj("idA" -> JStr("rel-leaf")))
+    val mapOf: (Seq[String], Gen[JsonValue]) => Gen[JsonValue] = (keys, vg) =>
+      Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, Gen.zip(Gen.oneOf(keys), vg))).map { kvs =>
+        val m = new JObj(); kvs.foreach { case (k, v) => m.put(k, v) }; m
+      }
+    Gen.frequency[(String, JsonValue)](
+      // language map: string / array-of-strings values, @none bucket
+      2 -> mapOf(Seq("en", "de-DE", "@none"), Gen.oneOf[JsonValue](
+        JStr("hallo"), JArr(JStr("x"), JStr("y")))).map("lm" -> _),
+      // index map: scalars, arrays, value objects, nodes
+      2 -> mapOf(Seq("i1", "i2", "@none"), Gen.frequency[JsonValue](
+        2 -> genCScalarG, 1 -> genCValueObjG, 1 -> nodeG,
+        1 -> genCScalarG.map(s => JArr(s)))).map("ix" -> _),
+      // property-based index map: node-object values only (scalars are the
+      // spec-13.8.3.7.2 invalid-value-object corner, pinned by t0099)
+      1 -> mapOf(Seq("k1", "k2"), nodeG).map("pix" -> _),
+      // id map: node objects, keys incl. relative IRIs / bnodes / @none
+      2 -> mapOf(Seq("http://a/n1", "_:b9", "rel9", "@none"), nodeG).map("idm" -> _),
+      // type map: node objects, keys are terms / compact IRIs / @none
+      2 -> mapOf(Seq("T1", "pfx:T", "@none"), nodeG).map("tm" -> _),
+      // list container: bare scalar (auto-wrapped), array, explicit @list
+      2 -> Gen.frequency[JsonValue](
+        1 -> genCScalarG,
+        2 -> Gen.listOfN(2, genCScalarG).map(JArr.from(_)),
+        1 -> Gen.listOfN(2, genCScalarG).map(xs => JObj("@list" -> JArr.from(xs))),
+        1 -> Gen.const(JObj("@list" -> JArr(JArr(JStr("nested")))))).map("lst" -> _),
+      // @type:@id coercion: strings are node refs (relative / compact IRIs)
+      2 -> Gen.oneOf[JsonValue](JStr("rel2"), JStr("http://a/z"), JStr("pfx:q"),
+        JArr(JStr("rel3"), JStr("#frag"))).map("iri" -> _),
+      1 -> Gen.oneOf[JsonValue](JStr("5"), JNum(3.0)).map("typed" -> _),
+      // @json coercion: the raw value IS the literal
+      1 -> Gen.oneOf[JsonValue](JObj("x" -> JNum(1.0), "y" -> JNull),
+        JArr(JBool(false), JNull), JStr("rawstr"), JNum(0.0)).map("jd" -> _),
+      // graph container
+      1 -> Gen.frequency[JsonValue](2 -> nodeG,
+        1 -> nodeG.map(n => JArr(n))).map("gc" -> _),
+      // reverse term: node objects only
+      1 -> Gen.frequency[JsonValue](2 -> nodeG,
+        1 -> nodeG.map(n => JArr(n))).map("rt" -> _),
+      // explicit @reverse map: @id-coerced term admits plain-string refs
+      1 -> Gen.oneOf[JsonValue](
+        JObj("iri" -> JStr("http://a/r1")),
+        JObj("pfx:r" -> JObj("@id" -> JStr("http://a/r2")))).map("@reverse" -> _),
+      // nest bucket in INPUT form: members hoisted during expansion
+      1 -> Gen.zip(genCScalarG, genCScalarG).map { case (a, b) =>
+        "meta" -> (JObj("nst" -> a, "other" -> b): JsonValue) },
+      // vocab-resolved key / compact-IRI key / node @index / null-drop
+      2 -> genCScalarG.map("other" -> _),
+      1 -> genCScalarG.map("pfx:sub" -> _),
+      1 -> Gen.const("@index" -> (JStr("k"): JsonValue)),
+      1 -> Gen.oneOf("lm", "iri", "other").map(t => t -> (JNull: JsonValue)),
+      1 -> (if (depth > 0) genCNodeG(depth - 1).map(n => "@included" -> (JArr(n): JsonValue))
+            else genCScalarG.map("other" -> _)))
+  }
+  private def genCNodeG(depth: Int): Gen[JObj] = for {
+    idKey <- Gen.oneOf("@id", "idA")
+    id <- Gen.option(Gen.oneOf("http://a/n1", "rel1", "#f", "_:cb1", "../up", "?q=1"))
+    typKey <- Gen.oneOf("@type", "tA")
+    types <- Gen.option(Gen.oneOf[JsonValue](JStr("T1"), JStr("pfx:T"),
+      JArr(JStr("T1"), JStr("http://b/x"))))
+    nEntries <- Gen.chooseNum(0, 3)
+    entries <- Gen.listOfN(nEntries, genCEntryG(depth))
+  } yield {
+    val o = new JObj()
+    id.foreach(i => o.put(idKey, JStr(i)))
+    types.foreach(t => o.put(typKey, t.deepCopy))
+    entries.foreach { case (k, v) => if (!o.contains(k)) o.put(k, v) }
+    o
+  }
+  private val genCompactDocG: Gen[JObj] = for {
+    node <- genCNodeG(2)
+    shape <- Gen.chooseNum(0, 2)
+    extra <- genCNodeG(0)
+  } yield {
+    val o = new JObj()
+    o.put("@context", compactDocCtx.deepCopy)
+    shape match {
+      case 0 => node.keys.foreach(k => o.put(k, node.getOrNull(k)))
+      case 1 => o.put("@graph", JArr(node, extra))
+      case _ => // named graph: node under @graph of an identified node
+        o.put("@id", JStr("http://g/1")); o.put("@graph", JArr(node))
+    }
+    o
+  }
+
+  test("generative sweep: compact-form input documents expand soundly and round-trip") {
+    val opts = JsonLdOptions(base = Some("http://base/doc"))
+    def canon(ts: Vector[Triple]): String = BnodeCanon.toCanonicalNQuads(ts)
+    // Expansion is idempotent UP TO the spec's free-floating drop: a @graph
+    // container can wrap a subject-only node ({"@id": x} states no quads),
+    // and re-expanding that graph object drops the member (expansion step
+    // 8.1/13.x free-floating rule, active property @graph). Mirror exactly
+    // that drop before comparing (wave-H finding, engine-correct both ways).
+    def pruneIdOnlyGraphMembers(v: JsonValue): JsonValue = v match {
+      case o: JObj =>
+        val out = new JObj()
+        o.keys.foreach { k =>
+          val child = pruneIdOnlyGraphMembers(o.getOrNull(k))
+          child match {
+            case arr: JArr if k == "@graph" =>
+              val kept = new JArr()
+              arr.iterator.foreach {
+                case m: JObj if m.size == 0 || (m.size == 1 && m.contains("@id")) => // dropped
+                case m => kept.push(m)
+              }
+              out.put(k, kept)
+            case c => out.put(k, c)
+          }
+        }
+        out
+      case a: JArr => JArr.from(a.iterator.map(pruneIdOnlyGraphMembers).toVector)
+      case other => other
+    }
+    forAll(genCompactDocG, n = 250) { doc =>
+      val expanded =
+        try JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts)
+        catch { case e: JsonLdError =>
+          fail(s"expansion rejected a generated-valid compact doc: ${e.render}\ndoc: ${JsonWriter.write(doc)}") }
+      // 1. expansion is idempotent on its own output (up to the @graph
+      //    free-floating drop, mirrored by the prune above)
+      val again = JsonLdApi.expand(JsonLdInput.Doc(expanded.deepCopy), opts)
+      assert(JsonEq.jsonLdEq(again, pruneIdOnlyGraphMembers(expanded.deepCopy), ordered = false),
+        s"expansion not idempotent\ndoc: ${JsonWriter.write(doc)}\nonce:  ${JsonWriter.write(expanded)}\ntwice: ${JsonWriter.write(again)}")
+      // 2. ordered expansion must produce the same result
+      val expandedOrd = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts.copy(ordered = true))
+      assert(JsonEq.jsonLdEq(expandedOrd, expanded, ordered = false),
+        s"ordered expansion changed the RESULT\ndoc: ${JsonWriter.write(doc)}")
+      val triples = ToRdf.toRdf(expanded.deepCopy.asArr.get, opts)
+      val qIn = canon(triples)
+      // 3. flatten preserves quads
+      val qFlat = canon(ToRdf.toRdf(Flatten.flattenExpanded(expanded.deepCopy.asArr.get), opts))
+      assert(qFlat == qIn, s"flatten changed the graph\ndoc: ${JsonWriter.write(doc)}\nin:\n$qIn\nflat:\n$qFlat")
+      // 4. toRdf ∘ fromRdf identity
+      val qBack = canon(ToRdf.toRdf(JsonLdApi.fromRdf(triples, opts), opts))
+      assert(qBack == qIn, s"toRdf∘fromRdf not identity\ndoc: ${JsonWriter.write(doc)}\nin:\n$qIn\nback:\n$qBack")
+      // 5. compaction round-trips: the doc's OWN context is the richest
+      //    probe (it re-emits the container maps the input was written in)
+      val ownProbes = Seq(
+        "own" -> compactDocCtx, "empty" -> new JObj(),
+        "vocab" -> JObj("@vocab" -> JStr("http://p/")))
+      for ((label, ctx) <- ownProbes) {
+        val compacted =
+          try JsonLdApi.compactPreExpanded(expanded.deepCopy.asArr.get,
+            Some(JObj("@context" -> ctx.deepCopy)), opts)
+          catch { case e: JsonLdError =>
+            fail(s"ctx=$label: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc)}") }
+        val re =
+          try JsonLdApi.expand(JsonLdInput.Doc(compacted), opts)
+          catch { case e: JsonLdError =>
+            fail(s"ctx=$label: re-expansion threw ${e.render}\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}") }
+        val qRe = canon(ToRdf.toRdf(re, opts))
+        assert(qRe == qIn,
+          s"ctx=$label: graph changed through compaction\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}\nin:\n$qIn\nre:\n$qRe")
       }
     }
   }
