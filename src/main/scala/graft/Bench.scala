@@ -37,16 +37,70 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, count)
   }
 
+  /** Seconds already burned on the DRIVER's kill clock before main()
+    * started: the driver's timeout wraps `sbt "runMain graft.Bench"`, so sbt
+    * startup + this JVM's fork/preTouch count against the ~580 s budget but
+    * are invisible to a main()-anchored clock. In a degraded window sbt
+    * startup alone was measured at ~190 s (round-5 continuation: three
+    * artifact-less kills in a row — every internal guard held, the run was
+    * simply 190 s older than it believed). Walk the /proc ancestry (this JVM
+    * → sbt JVM → timeout) and take the earliest start time of a RELATED
+    * ancestor (java/sbt/timeout or a shell whose cmdline carries the sbt
+    * invocation); unrelated long-lived shells stop the walk.
+    */
+  private def preMainOverheadSec(): Double = {
+    try {
+      val hz = 100.0 // Linux USER_HZ on this kernel
+      val uptime = scala.io.Source.fromFile("/proc/uptime").mkString
+        .split("\\s+")(0).toDouble
+      def statOf(pid: Long): Option[(Long, Double, String)] =
+        try {
+          val s = scala.io.Source.fromFile(s"/proc/$pid/stat").mkString
+          // comm may contain spaces/parens: fields resume after the last ')'
+          val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+          val ppid = rest(1).toLong // field 4
+          val startSec = rest(19).toDouble / hz // field 22 (ticks since boot)
+          val cmd =
+            try scala.io.Source.fromFile(s"/proc/$pid/cmdline").mkString
+              .replace('\u0000', ' ')
+            catch { case _: Throwable => "" }
+          Some((ppid, startSec, cmd))
+        } catch { case _: Throwable => None }
+      var pid = ProcessHandle.current().pid()
+      var earliest = Double.MaxValue
+      var hops = 0
+      var walking = true
+      while (walking && hops < 6 && pid > 1) {
+        statOf(pid) match {
+          case Some((ppid, startSec, cmd)) =>
+            val related = hops == 0 || cmd.contains("sbt") ||
+              cmd.contains("java") || cmd.startsWith("timeout")
+            if (related) { earliest = math.min(earliest, startSec); pid = ppid; hops += 1 }
+            else walking = false
+          case None => walking = false
+        }
+      }
+      if (earliest == Double.MaxValue) 0.0
+      // cap: a misattributed ancient ancestor must not zero the budget —
+      // 400 s of real overhead already means "emit the minimal artifact"
+      else math.min(400.0, math.max(0.0, uptime - earliest))
+    } catch { case _: Throwable => 0.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // global wall-clock accounting: the driver kills the whole run at its
-    // own budget (~580 s), so every elastic block below checks mainElapsed
-    // and the phases log to stderr — a silent 10-minute run with no JSON
-    // line is strictly worse than a run with fewer scaling rounds.
+    // own budget (~580 s) measured from the sbt LAUNCH, not from main() —
+    // anchor the elapsed clock at the launch (preMainOverheadSec) so every
+    // elastic block below sheds load against the budget that actually
+    // remains. A silent 10-minute run with no JSON line is strictly worse
+    // than a run with fewer scaling rounds.
     val mainT0 = System.nanoTime()
-    def mainElapsed: Double = (System.nanoTime() - mainT0) / 1e9
+    val preMainSec = preMainOverheadSec()
+    def mainElapsed: Double = (System.nanoTime() - mainT0) / 1e9 + preMainSec
     def note(msg: String): Unit = System.err.println(f"[bench] t=$mainElapsed%.0fs $msg")
+    note(f"pre-main overhead $preMainSec%.0fs (sbt + JVM fork, on the driver kill clock)")
     val spark = session(cpus)
 
     // ---- SCALING PHASE FIRST (north-rule gate): the serve probes get the
