@@ -64,7 +64,13 @@ class PropertySpec extends AnyFunSuite {
   //   3. toRdf∘fromRdf is the identity on the document's quads
   //   4. wildcard framing preserves the merged graph
   private val genIriG: Gen[String] = Gen.oneOf("http://a/", "http://b/x", "http://c/y#f", "http://d/p")
-  private val genPropG: Gen[String] = Gen.oneOf("http://p/1", "http://p/2", "http://p/3", "http://v/data")
+  private val genPropG: Gen[String] = Gen.frequency(
+    // wave I: a blank-node PREDICATE rides every invariant leg — generalized
+    // RDF is the engine default (reference lib.rs:234), so bnode-predicate
+    // quads must survive flatten/compaction/fromRdf/framing round trips,
+    // and produceGeneralizedRdf=false must drop exactly them (leg 3d)
+    8 -> Gen.oneOf("http://p/1", "http://p/2", "http://p/3", "http://v/data"),
+    1 -> Gen.const("_:pb"))
   private val genValueG: Gen[JObj] = Gen.frequency(
     3 -> Gen.zip(Gen.oneOf("s1", "s2", ""), Gen.option(Gen.oneOf("en", "ar", "de-de")))
       .map { case (s, lang) =>
@@ -145,7 +151,7 @@ class PropertySpec extends AnyFunSuite {
   private val genTermNameG: Gen[String] = Gen.oneOf("t1", "t2", "u", "ex", "K")
   private val genCtxTermG: Gen[JsonValue] = for {
     iri <- Gen.oneOf("http://p/1", "http://p/2", "http://p/3", "http://v/data", "http://b/x", "http://p/")
-    kind <- Gen.chooseNum(0, 12)
+    kind <- Gen.chooseNum(0, 13)
     defn <- kind match {
       case 0 | 1 => Gen.const(JStr(iri): JsonValue)
       case 2 => Gen.const(JObj("@reverse" -> JStr(iri)): JsonValue)
@@ -170,6 +176,14 @@ class PropertySpec extends AnyFunSuite {
       // emits, its scoped ctx re-terms properties of matching nodes
       case 7 => Gen.oneOf("http://p/1", "http://p/2").map(i2 =>
         JObj("@id" -> JStr("http://b/x"), "@context" -> JObj("tsub" -> JStr(i2))): JsonValue)
+      // wave I: property-based index container (@index TERM KEY) — node
+      // values route into a map keyed by the compacted value of the index
+      // PROPERTY (the c0053-c0055 data-loss family, on generated docs;
+      // value objects must stay OUT of the map or re-expansion's
+      // 13.8.3.7.2 invalid-value-object check fires)
+      case 8 => Gen.oneOf("http://p/2", "http://p/3").map(ip =>
+        JObj("@id" -> JStr(iri), "@container" -> JStr("@index"),
+          "@index" -> JStr(ip)): JsonValue)
       case _ =>
         for {
           container <- Gen.option(Gen.oneOf[JsonValue](
@@ -211,7 +225,12 @@ class PropertySpec extends AnyFunSuite {
     // re-expansion must honor it — @none aliases rewrite index-map keys
     alias <- Gen.option(Gen.oneOf[(String, String)](
       "idA" -> "@id", "typA" -> "@type", "revA" -> "@reverse",
-      "grA" -> "@graph", "nstA" -> "@nest", "noneA" -> "@none"))
+      "grA" -> "@graph", "nstA" -> "@nest", "noneA" -> "@none",
+      // wave I: the value-/container-keyword aliases — compaction must EMIT
+      // through them (list/set/value objects, index keys, lang/dir members)
+      // and re-expansion must read them back
+      "lstA" -> "@list", "setA" -> "@set", "valA" -> "@value",
+      "idxA" -> "@index", "lngA" -> "@language", "dirA" -> "@direction"))
     // wave H: protect every term in the context — compaction itself never
     // checks protection, but scoped contexts inside generated terms (case 5
     // collisions) now hit the redefinition check on both the compaction and
@@ -288,10 +307,18 @@ class PropertySpec extends AnyFunSuite {
       BnodeCanon.toCanonicalNQuads(ts.map(_.copy(graph = "")).distinct)
     forAll(Gen.zip(genExpandedDocG, Gen.listOfN(2, genCtxG)), n = 250) { case (doc, genCtxs) =>
       // per-doc probe set: the fixed feature probes + two GENERATED contexts
-      // (term-selection/coercion/container combinations — wave F)
-      val probeContextsAll = probeContexts ++ genCtxs.zipWithIndex.map { case (c, i) =>
-        s"gen-$i ${JsonWriter.write(c)}" -> c
-      }
+      // (term-selection/coercion/container combinations — wave F), + wave I:
+      // the two generated contexts composed as a context ARRAY (sequential
+      // merge — later term defs override, aliases/defaults accumulate) and a
+      // null-reset array (the leading null must leave a clean slate)
+      val probeContextsAll: Vector[(String, JsonValue)] =
+        probeContexts ++ genCtxs.zipWithIndex.map { case (c, i) =>
+          s"gen-$i ${JsonWriter.write(c)}" -> (c: JsonValue)
+        } ++ Vector[(String, JsonValue)](
+          s"gen-arr ${JsonWriter.write(genCtxs(0))} ++ ${JsonWriter.write(genCtxs(1))}" ->
+            JArr(genCtxs(0).deepCopy, genCtxs(1).deepCopy),
+          s"gen-null-reset ${JsonWriter.write(genCtxs(1))}" ->
+            JArr(JNull, genCtxs(1).deepCopy))
       val expanded = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts)
       val triples = ToRdf.toRdf(expanded.deepCopy.asArr.get, opts)
       val qIn = canon(triples)
@@ -416,6 +443,36 @@ class PropertySpec extends AnyFunSuite {
         assert(qDBack == qD,
           s"rdfDirection=$dirMode: toRdf∘fromRdf not identity\ndoc: ${JsonWriter.write(doc)}\nin:\n$qD\nback:\n$qDBack")
       }
+      // 3d. produceGeneralizedRdf=false drops EXACTLY the bnode-predicate
+      //     quads (ToRdf.scala:87) — and, because the deserialization
+      //     algorithm skips the whole property-values pair BEFORE list
+      //     conversion, the rdf:first/rest chains of @list values under a
+      //     dropped predicate vanish with it (nested node objects do NOT:
+      //     they are node-map entries with their own kept quads). Derive the
+      //     expected set by pruning dropped edges plus the list chains
+      //     reachable only from them.
+      val optsNG = opts.copy(produceGeneralizedRdf = false)
+      val qNG = canon(ToRdf.toRdf(expanded.deepCopy.asArr.get, optsNG))
+      val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      val bySubj = triples.groupBy(_.subj)
+      def isChainNode(b: String): Boolean = {
+        val ts = bySubj.getOrElse(b, Vector.empty)
+        ts.nonEmpty && ts.forall(t => t.pred == rdfNs + "first" || t.pred == rdfNs + "rest")
+      }
+      val removedNG = scala.collection.mutable.Set[Triple]()
+      def dropChain(b: String): Unit =
+        if (b.startsWith("_:") && isChainNode(b))
+          for (t <- bySubj.getOrElse(b, Vector.empty) if !removedNG(t)) {
+            removedNG += t
+            if (t.objKind == "bnode") dropChain(t.objValue)
+          }
+      for (t <- triples if t.pred.startsWith("_:")) {
+        removedNG += t
+        if (t.objKind == "bnode") dropChain(t.objValue)
+      }
+      val qKept = canon(triples.filterNot(removedNG))
+      assert(qNG == qKept,
+        s"produceGeneralizedRdf=false did not drop exactly the bnode-predicate edges + their list chains\ndoc: ${JsonWriter.write(doc)}\ngot:\n$qNG\nwant:\n$qKept")
       // 4. wildcard framing preserves the merged graph
       val framed = JsonLdApi.frame(JsonLdInput.Doc(expanded.deepCopy), new JObj(), opts)
       val qFrame = mergedCanon(ToRdf.toRdf(JsonLdApi.expand(JsonLdInput.Doc(framed), opts), opts))
@@ -424,8 +481,11 @@ class PropertySpec extends AnyFunSuite {
       // 5. SELECTIVE frames must stay total, expandable, and sound (no
       //    invented ground statements — the sweep-5 invariant, on shapes
       //    the fixture corpus never produces)
+      // "ground" excludes bnodes in EVERY position (framing may relabel
+      // blank nodes, incl. bnode predicates — wave I)
       val groundIn: Set[Triple] = triples.map(_.copy(graph = ""))
-        .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode").toSet
+        .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode" &&
+          !t.pred.startsWith("_:")).toSet
       val selectiveFrames = Seq(
         JObj("@type" -> JStr("http://b/x")),
         JObj("http://p/1" -> JArr(new JObj())),
@@ -435,7 +495,8 @@ class PropertySpec extends AnyFunSuite {
         val out = JsonLdApi.frame(JsonLdInput.Doc(expanded.deepCopy), fr.deepCopy, opts)
         val reOut = JsonLdApi.expand(JsonLdInput.Doc(out), opts)
         val groundOut = ToRdf.toRdf(reOut, opts).map(_.copy(graph = ""))
-          .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode").toSet
+          .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode" &&
+            !t.pred.startsWith("_:")).toSet
         val invented = groundOut -- groundIn
         assert(invented.isEmpty,
           s"selective framing INVENTED statements\nframe: ${JsonWriter.write(fr)}\ndoc: ${JsonWriter.write(doc)}\n${invented.mkString("\n")}")
@@ -598,7 +659,7 @@ class PropertySpec extends AnyFunSuite {
       case a: JArr => JArr.from(a.iterator.map(pruneIdOnlyGraphMembers).toVector)
       case other => other
     }
-    forAll(genCompactDocG, n = 250) { doc =>
+    forAll(Gen.zip(genCompactDocG, genCtxG), n = 250) { case (doc, genCtx) =>
       val expanded =
         try JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts)
         catch { case e: JsonLdError =>
@@ -638,6 +699,48 @@ class PropertySpec extends AnyFunSuite {
         val qRe = canon(ToRdf.toRdf(re, opts))
         assert(qRe == qIn,
           s"ctx=$label: graph changed through compaction\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}\nin:\n$qIn\nre:\n$qRe")
+      }
+      // 6. wave I: a GENERATED context PREPENDED as a context array — the
+      //    array is processed sequentially, so compactDocCtx overrides every
+      //    colliding default (@vocab/@language/@base) while the generated
+      //    noise terms, aliases, @protected and a surviving @direction
+      //    default stay active. The document never uses the generated term
+      //    names, so expansion must ACCEPT, and the doc-2 graph must hold the
+      //    flatten / fromRdf invariants on its own quads.
+      val doc2 = doc.deepCopy.asInstanceOf[JObj]
+      doc2.put("@context", JArr(genCtx.deepCopy, compactDocCtx.deepCopy))
+      val exp2 =
+        try JsonLdApi.expand(JsonLdInput.Doc(doc2.deepCopy), opts)
+        catch { case e: JsonLdError =>
+          fail(s"expansion rejected a prepended-generated-ctx doc: ${e.render}\ndoc: ${JsonWriter.write(doc2)}") }
+      val t2 = ToRdf.toRdf(exp2.deepCopy.asArr.get, opts)
+      val qIn2 = canon(t2)
+      val qFlat2 = canon(ToRdf.toRdf(Flatten.flattenExpanded(exp2.deepCopy.asArr.get), opts))
+      assert(qFlat2 == qIn2,
+        s"gen-prepend: flatten changed the graph\ndoc: ${JsonWriter.write(doc2)}\nin:\n$qIn2\nflat:\n$qFlat2")
+      val qBack2 = canon(ToRdf.toRdf(JsonLdApi.fromRdf(t2, opts), opts))
+      assert(qBack2 == qIn2,
+        s"gen-prepend: toRdf∘fromRdf not identity\ndoc: ${JsonWriter.write(doc2)}\nin:\n$qIn2\nback:\n$qBack2")
+      // compaction against the SAME array context must round-trip the graph
+      val c2 =
+        try JsonLdApi.compactPreExpanded(exp2.deepCopy.asArr.get,
+          Some(JObj("@context" -> JArr(genCtx.deepCopy, compactDocCtx.deepCopy))), opts)
+        catch { case e: JsonLdError =>
+          fail(s"gen-prepend: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc2)}") }
+      val re2 =
+        try JsonLdApi.expand(JsonLdInput.Doc(c2), opts)
+        catch {
+          // the wave-H scalar-path protection asymmetry applies here too:
+          // compaction may route content under a generated scoped term whose
+          // re-expansion rejects — a loud reject is engine-correct
+          case e: JsonLdError if e.code == ErrorCode.ProtectedTermRedefinition => null
+          case e: JsonLdError =>
+            fail(s"gen-prepend: re-expansion threw ${e.render}\ndoc: ${JsonWriter.write(doc2)}\ncompacted: ${JsonWriter.write(c2)}")
+        }
+      if (re2 != null) {
+        val qRe2 = canon(ToRdf.toRdf(re2, opts))
+        assert(qRe2 == qIn2,
+          s"gen-prepend: graph changed through compaction\ndoc: ${JsonWriter.write(doc2)}\ncompacted: ${JsonWriter.write(c2)}\nin:\n$qIn2\nre:\n$qRe2")
       }
     }
   }
@@ -699,7 +802,8 @@ class PropertySpec extends AnyFunSuite {
       val expanded = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts)
       val groundIn: Set[Triple] = ToRdf.toRdf(expanded.deepCopy.asArr.get, opts)
         .map(_.copy(graph = ""))
-        .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode").toSet
+        .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode" &&
+          !t.pred.startsWith("_:")).toSet
       for (fr <- frames) {
         val framed =
           try JsonLdApi.frame(JsonLdInput.Doc(expanded.deepCopy), fr.deepCopy, opts)
@@ -711,7 +815,8 @@ class PropertySpec extends AnyFunSuite {
             fail(s"framed output not expandable: ${e.render}\nframe: ${JsonWriter.write(fr)}\nframed: ${JsonWriter.write(framed)}") }
         if (!frameHasDefault(fr)) {
           val groundOut = ToRdf.toRdf(reOut, opts).map(_.copy(graph = ""))
-            .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode").toSet
+            .filter(t => !t.subj.startsWith("_:") && t.objKind != "bnode" &&
+              !t.pred.startsWith("_:")).toSet
           val invented = groundOut -- groundIn
           assert(invented.isEmpty,
             s"framing INVENTED ground statements\nframe: ${JsonWriter.write(fr)}\ndoc: ${JsonWriter.write(doc)}\n${invented.mkString("\n")}")
