@@ -108,11 +108,32 @@ object Compaction {
         val alias = compactIri(activeContext, "@id", options, None, vocab = true, reverse = false)
         result.put(alias, compactedValue)
       case "@type" =>
+        // SPEC ASYMMETRY (generative sweep wave I, bug #21): the spec
+        // compacts @type values against the type-scoped context captured
+        // BEFORE the property-scoped context applies (compaction step 1 vs
+        // 5.2), but expansion resolves @type values AFTER applying it
+        // (expansion steps 9 → 11). A term SHADOWED by a property-scoped
+        // context therefore flips meaning ({"t1": {"@context": {"u":
+        // "http://p/2"}}, "u": "http://b/x"} — "@type": "u" written as b/x
+        // re-reads as p/2). Documented data-preserving deviation: keep the
+        // spec's candidate only if it re-expands to the same IRI under the
+        // context re-expansion will use; otherwise retry against that
+        // context, falling back to the raw IRI.
+        def compactTypeValue(t: String): String = {
+          def survives(c: String): Boolean =
+            expandIri(activeContext, c, documentRelative = false, vocab = true).contains(t)
+          val cand = compactIri(typeScopedContext, t, options, None, vocab = true, reverse = false)
+          if (survives(cand)) cand
+          else {
+            val cand2 = compactIri(activeContext, t, options, None, vocab = true, reverse = false)
+            if (survives(cand2)) cand2 else t
+          }
+        }
         val compactedValue: JsonValue = expandedValue match {
-          case JStr(t) => JStr(compactIri(typeScopedContext, t, options, None, vocab = true, reverse = false))
+          case JStr(t) => JStr(compactTypeValue(t))
           case arr: JArr =>
             JArr.from(arr.iterator.map(t =>
-              JStr(compactIri(typeScopedContext, t.asString.get, options, None, vocab = true, reverse = false)): JsonValue))
+              JStr(compactTypeValue(t.asString.get)): JsonValue))
           case _ => throw new IllegalStateException("bad @type")
         }
         val alias = compactIri(activeContext, "@type", options, None, vocab = true, reverse = false)
@@ -225,8 +246,14 @@ object Compaction {
             // shaping must not apply there (generative sweep: a list item's
             // JSON literal unwrapped raw under a @json term, then re-read
             // as a nested list under the full IRI)
+            // a @json-typed term may NEVER carry a list as its bare array:
+            // re-expansion's @json short-circuit literalizes the term's
+            // whole raw value, turning {"@list":[...]} → "[...]"^^rdf:JSON
+            // (empty lists included — generative sweep wave I, bug #20).
+            // Such lists take the full-IRI fallback below, like second
+            // lists and lists under map containers.
             val firstListOnTerm =
-              container == Container.ListC && !nestResult.contains(itemActiveProperty)
+              container == Container.ListC && !jsonType && !nestResult.contains(itemActiveProperty)
             val carrier =
               if (container == Container.ListC) {
                 if (firstListOnTerm) itemActiveProperty

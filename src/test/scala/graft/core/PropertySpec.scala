@@ -337,6 +337,20 @@ class PropertySpec extends AnyFunSuite {
       val qFr = canon(ToRdf.toRdf(expandedFr, opts))
       assert(qFr == qIn,
         s"frameExpansion changed the graph of an ordinary generated doc\ndoc: ${JsonWriter.write(doc)}\nin:\n$qIn\nframeExp:\n$qFr")
+      // 1e. wave J: expandContext is a NO-OP on expanded-form input —
+      //     absolute-IRI keys, keyword keys, and value objects ignore the
+      //     supplied terms, aliases, and @vocab/@language/@direction/@base
+      //     defaults. (A generated scoped-term collision can reject at
+      //     context processing — loud reject, skip, same tolerance as the
+      //     compaction probes.)
+      try {
+        val expandedEC = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy),
+          opts.copy(expandContext = Some(JsonOrRef.Obj(genCtxs(0).deepCopy.asInstanceOf[JObj]))))
+        assert(JsonEq.jsonLdEq(expandedEC, expanded, ordered = false),
+          s"expandContext changed the expansion of an expanded-form doc\nctx: ${JsonWriter.write(genCtxs(0))}\ndoc: ${JsonWriter.write(doc)}\nwith:    ${JsonWriter.write(expandedEC)}\nwithout: ${JsonWriter.write(expanded)}")
+      } catch {
+        case e: JsonLdError if e.code == ErrorCode.ProtectedTermRedefinition => // loud reject
+      }
       // 1d. the FLATTENED form (issuer-relabeled top-level array, named
       //     graphs as @graph nodes) must stay graph-preserving under
       //     compaction too (sweep-6 analog; bounded probe subset)
@@ -529,6 +543,12 @@ class PropertySpec extends AnyFunSuite {
     "jd" -> JObj("@id" -> JStr("http://v/data"), "@type" -> JStr("@json")),
     "pfx" -> JObj("@id" -> JStr("http://p/"), "@prefix" -> JBool(true)),
     "gc" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@graph")),
+    // wave J: graph id-map / graph index-map containers — map READING in
+    // expansion (each value is a named/indexed graph)
+    "gci" -> JObj("@id" -> JStr("http://p/4"),
+      "@container" -> JArr(JStr("@graph"), JStr("@id"))),
+    "gcx" -> JObj("@id" -> JStr("http://p/6"),
+      "@container" -> JArr(JStr("@graph"), JStr("@index"))),
     "rt" -> JObj("@reverse" -> JStr("http://p/2")),
     "nst" -> JObj("@id" -> JStr("http://p/3"), "@nest" -> JStr("meta")),
     "meta" -> JStr("@nest"),
@@ -582,6 +602,10 @@ class PropertySpec extends AnyFunSuite {
       // graph container
       1 -> Gen.frequency[JsonValue](2 -> nodeG,
         1 -> nodeG.map(n => JArr(n))).map("gc" -> _),
+      // graph id-map: keys NAME the graphs (IRI / bnode / @none default)
+      1 -> mapOf(Seq("http://a/g1", "_:gb", "@none"), nodeG).map("gci" -> _),
+      // graph index-map: keys index anonymous graphs
+      1 -> mapOf(Seq("gi1", "@none"), nodeG).map("gcx" -> _),
       // reverse term: node objects only
       1 -> Gen.frequency[JsonValue](2 -> nodeG,
         1 -> nodeG.map(n => JArr(n))).map("rt" -> _),
@@ -721,13 +745,21 @@ class PropertySpec extends AnyFunSuite {
       val qBack2 = canon(ToRdf.toRdf(JsonLdApi.fromRdf(t2, opts), opts))
       assert(qBack2 == qIn2,
         s"gen-prepend: toRdf∘fromRdf not identity\ndoc: ${JsonWriter.write(doc2)}\nin:\n$qIn2\nback:\n$qBack2")
-      // compaction against the SAME array context must round-trip the graph
+      // compaction against the SAME array context must round-trip the graph.
+      // ProtectedTermRedefinition is a spec'd loud reject (compaction's
+      // TYPE-scoped activation passes overrideProtected=false per the
+      // spec's literal text — step 5.2.3 names no override — so a generated
+      // scoped context colliding with a generated protected term rejects;
+      // same tolerance as the main sweep's probe loop)
       val c2 =
         try JsonLdApi.compactPreExpanded(exp2.deepCopy.asArr.get,
           Some(JObj("@context" -> JArr(genCtx.deepCopy, compactDocCtx.deepCopy))), opts)
-        catch { case e: JsonLdError =>
-          fail(s"gen-prepend: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc2)}") }
-      val re2 =
+        catch {
+          case e: JsonLdError if e.code == ErrorCode.ProtectedTermRedefinition => null
+          case e: JsonLdError =>
+            fail(s"gen-prepend: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc2)}")
+        }
+      val re2 = if (c2 == null) null else
         try JsonLdApi.expand(JsonLdInput.Doc(c2), opts)
         catch {
           // the wave-H scalar-path protection asymmetry applies here too:
@@ -779,10 +811,14 @@ class PropertySpec extends AnyFunSuite {
     explicit <- Gen.option(Gen.oneOf(true, false))
     requireAll <- Gen.option(Gen.oneOf(true, false))
     omitDefault <- Gen.option(Gen.oneOf(true, false))
+    // wave J: @graph recursion — frame the node's named graph with a
+    // wildcard subframe (generated docs carry named graphs)
+    graphFr <- Gen.option(Gen.const(JArr(new JObj()): JsonValue))
   } yield {
     val o = new JObj()
     idSel.foreach(v => o.put("@id", v))
     typeSel.foreach(v => o.put("@type", v))
+    graphFr.foreach(g => o.put("@graph", g.deepCopy))
     props.foreach { case (p, v) => if (!o.contains(p)) o.put(p, v) }
     embed.foreach(e => o.put("@embed", JStr(e)))
     explicit.foreach(e => o.put("@explicit", JBool(e)))
