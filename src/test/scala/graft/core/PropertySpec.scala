@@ -814,11 +814,17 @@ class PropertySpec extends AnyFunSuite {
     // wave J: @graph recursion — frame the node's named graph with a
     // wildcard subframe (generated docs carry named graphs)
     graphFr <- Gen.option(Gen.const(JArr(new JObj()): JsonValue))
+    // wave K: @reverse selectors — match nodes that are the OBJECT of the
+    // property (wildcard, and a typed subframe)
+    revFr <- Gen.option(Gen.oneOf[JsonValue](
+      JObj("http://p/1" -> JArr(new JObj())),
+      JObj("http://v/data" -> JArr(JObj("@type" -> JArr(JStr("http://b/x")))))))
   } yield {
     val o = new JObj()
     idSel.foreach(v => o.put("@id", v))
     typeSel.foreach(v => o.put("@type", v))
     graphFr.foreach(g => o.put("@graph", g.deepCopy))
+    revFr.foreach(r => o.put("@reverse", r.deepCopy))
     props.foreach { case (p, v) => if (!o.contains(p)) o.put(p, v) }
     embed.foreach(e => o.put("@embed", JStr(e)))
     explicit.foreach(e => o.put("@explicit", JBool(e)))
@@ -858,6 +864,76 @@ class PropertySpec extends AnyFunSuite {
             s"framing INVENTED ground statements\nframe: ${JsonWriter.write(fr)}\ndoc: ${JsonWriter.write(doc)}\n${invented.mkString("\n")}")
         }
       }
+    }
+  }
+
+  // --- wave K: generative HTML script embedding ---
+  // Generated docs rendered into <script type="application/ld+json"> blocks
+  // across markup variants (tag case, attribute quoting, decoy classic
+  // scripts with comment-lookalike raw text, ghost scripts inside HTML
+  // comments, <base href>, fragment selection) must expand through the
+  // text/html Remote path to exactly the graph of the directly-expanded
+  // JSON. Scanner corners are unit-pinned in HtmlScriptsSpec; this leg
+  // checks the END-TO-END wiring (extraction, splicing, base resolution)
+  // on document shapes no fixture spells out.
+  test("generative sweep: HTML-embedded documents expand to the same graph as direct JSON") {
+    def canon(ts: Vector[Triple]): String = BnodeCanon.toCanonicalNQuads(ts)
+    def quadsOf(v: JsonValue, opts: JsonLdOptions): String =
+      canon(ToRdf.toRdf(JsonLdApi.expand(JsonLdInput.Doc(v), opts).deepCopy.asArr.get, opts))
+    def remoteQuads(html: String, url: String, opts: JsonLdOptions): String = {
+      val remote = JsonLdInput.Remote(RemoteDocument("text/html", None, JStr(html), url))
+      canon(ToRdf.toRdf(JsonLdApi.expand(remote, opts).deepCopy.asArr.get, opts))
+    }
+    forAll(Gen.zip(genExpandedDocG, genExpandedDocG, Gen.chooseNum(0, 2)), n = 120) {
+      case (docA0, docB, variant) =>
+        // one relative-@id node so the effective base is observable
+        val docA = docA0.deepCopy.asInstanceOf[JArr]
+        docA.push(JObj("@id" -> JStr("relnode"),
+          "http://p/1" -> JArr(JObj("@value" -> JNum(1.0)))))
+        val sA = JsonWriter.write(docA)
+        val sB = JsonWriter.write(docB)
+        val url = "http://host/a/page.html"
+        val (html, effectiveBase) = variant match {
+          case 0 => (
+            s"""<!DOCTYPE html><html><head>
+               |<!-- <script type="application/ld+json">{"@id": "http://n/ghost"}</script> -->
+               |<script type="application/ld+json">$sA</script>
+               |<script type="text/javascript">var s = "<!--";</script>
+               |<script type="application/ld+json">$sB</script>
+               |</head><body></body></html>""".stripMargin, url)
+          case 1 => (
+            s"""<html><head><base href="sub/">
+               |<SCRIPT TYPE='application/ld+json;charset=UTF-8'>$sA</SCRIPT>
+               |<SCRIPT TYPE="application/ld+json">$sB</SCRIPT>
+               |</head></html>""".stripMargin, "http://host/a/sub/")
+          case _ => (
+            s"""<html><body>
+               |<script>classic();</script>
+               |<script type=application/ld+json>$sA</script>
+               |<script id=two type = "application/ld+json">$sB</script>
+               |</body></html>""".stripMargin, url)
+        }
+        val optsDirect = JsonLdOptions(base = Some(effectiveBase))
+        val optsRemote = JsonLdOptions() // base governed by documentUrl/<base href>
+        // default: FIRST candidate script only
+        val qFirst = remoteQuads(html, url, optsRemote)
+        val qDirectA = quadsOf(docA.deepCopy, optsDirect)
+        assert(qFirst == qDirectA,
+          s"variant=$variant first-script graph diverged\nhtml-base: $effectiveBase\ndocA: $sA\nhtml:\n$qFirst\ndirect:\n$qDirectA")
+        // extractAllScripts: splice of both docs in document order
+        val qAll = remoteQuads(html, url, optsRemote.copy(extractAllScripts = true))
+        val combined = JArr.from(docA.deepCopy.asArr.get.iterator.toVector ++
+          docB.deepCopy.asArr.get.iterator.toVector)
+        val qDirectAll = quadsOf(combined, optsDirect)
+        assert(qAll == qDirectAll,
+          s"variant=$variant all-scripts graph diverged\ndocA: $sA\ndocB: $sB\nhtml:\n$qAll\ndirect:\n$qDirectAll")
+        // fragment selection picks the identified script only (variant 2)
+        if (variant == 2) {
+          val qFrag = remoteQuads(html, url + "#two", optsRemote)
+          val qDirectB = quadsOf(docB.deepCopy, optsDirect)
+          assert(qFrag == qDirectB,
+            s"fragment-selected graph diverged\ndocB: $sB\nhtml:\n$qFrag\ndirect:\n$qDirectB")
+        }
     }
   }
 
