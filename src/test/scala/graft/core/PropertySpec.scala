@@ -1045,6 +1045,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // --- wave K: fromRdf identity sweep on generated DATASETS ---
+  // The fromRdf fuzz above only demands no-crash on broken shapes; this
+  // sweep asserts the strong invariant: toRdf∘fromRdf is the IDENTITY on
+  // the distinct quad set of EVERY valid dataset — datasets reach shapes no
+  // document can produce (multiply-referenced list chains that must NOT
+  // fold into @list, chains crossed between graphs, rdf:nil as a subject
+  // with properties, rdf:type on list nodes), so fromRdf's list-folding
+  // decisions are each forced to be reversible.
+  test("fromRdf identity sweep: toRdf∘fromRdf is the identity on generated datasets") {
+    val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val genTermK = Gen.oneOf("_:b0", "_:b1", "_:b2", "http://s/a", "http://s/b", RDF + "nil")
+    val genPredK = Gen.oneOf(RDF + "first", RDF + "rest", RDF + "type", "http://p/p", "http://p/q")
+    val genObjK: Gen[(String, String, String, String)] = Gen.oneOf(
+      genTermK.map(t => if (t.startsWith("_:")) ("bnode", t, "", "") else ("iri", t, "", "")),
+      Gen.oneOf("v", "42", "true").map(l => ("literal", l, "http://www.w3.org/2001/XMLSchema#string", "")),
+      Gen.const(("literal", "7", "http://www.w3.org/2001/XMLSchema#integer", "")),
+      Gen.const(("literal", "x", RDF + "langString", "en")))
+    val genGraphK = Gen.oneOf("", "", "_:g0", "http://g/")
+    val genTripleK = for {
+      s <- genTermK; p <- genPredK; o <- genObjK; g <- genGraphK
+    } yield Triple(s, p, o._1, o._2, o._3, o._4, g)
+    // a deliberate WELL-FORMED chain (foldable) + optional extra references
+    // that must VETO the fold (multiply-referenced / cross-graph)
+    val genChainK: Gen[Vector[Triple]] = for {
+      len <- Gen.chooseNum(1, 3)
+      g <- genGraphK
+      item <- genObjK
+      extraRef <- Gen.chooseNum(0, 3) // 0: none, 1: second head ref, 2: mid ref, 3: cross-graph ref
+    } yield {
+      val nodes = (0 until len).map(i => s"_:c$i").toVector
+      val chain = nodes.zipWithIndex.flatMap { case (n, i) =>
+        Vector(
+          Triple(n, RDF + "first", item._1, item._2, item._3, item._4, g),
+          Triple(n, RDF + "rest",
+            if (i == len - 1) "iri" else "bnode",
+            if (i == len - 1) RDF + "nil" else nodes(i + 1), "", "", g))
+      }
+      val head = Triple("http://s/a", "http://p/p", "bnode", nodes.head, "", "", g)
+      val extra = extraRef match {
+        case 1 => Vector(Triple("http://s/b", "http://p/q", "bnode", nodes.head, "", "", g))
+        case 2 if len > 1 => Vector(Triple("http://s/b", "http://p/q", "bnode", nodes(1), "", "", g))
+        case 3 => Vector(Triple("http://s/b", "http://p/q", "bnode", nodes.head, "", "", "http://g2/"))
+        case _ => Vector.empty
+      }
+      chain ++ Vector(head) ++ extra
+    }
+    val opts = JsonLdOptions()
+    forAll(Gen.zip(Gen.listOfN(8, genTripleK), genChainK, Gen.oneOf(false, true)), n = 300) {
+      case (noise, chain, useRdfType) =>
+        val optsK = opts.copy(useRdfType = useRdfType)
+        val dataset = (noise.toVector ++ chain).distinct
+        val back =
+          try ToRdf.toRdf(JsonLdApi.fromRdf(dataset, optsK), optsK)
+          catch { case e: Throwable =>
+            fail(s"round trip threw ${e.getClass.getName}: ${e.getMessage}\ndataset: $dataset") }
+        val qIn = BnodeCanon.toCanonicalNQuads(dataset)
+        val qBack = BnodeCanon.toCanonicalNQuads(back.distinct)
+        assert(qBack == qIn,
+          s"toRdf∘fromRdf not identity on a dataset (useRdfType=$useRdfType)\nin:\n$qIn\nback:\n$qBack\ndataset: $dataset")
+    }
+  }
+
   test("expansion is idempotent: expand(expand(x)) == expand(x)") {
     forAll(genDoc) { doc =>
       val opts = JsonLdOptions(base = Some("http://base/doc"))
