@@ -1056,13 +1056,15 @@ class PropertySpec extends AnyFunSuite {
   test("fromRdf identity sweep: toRdf∘fromRdf is the identity on generated datasets") {
     val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val genTermK = Gen.oneOf("_:b0", "_:b1", "_:b2", "http://s/a", "http://s/b", RDF + "nil")
-    val genPredK = Gen.oneOf(RDF + "first", RDF + "rest", RDF + "type", "http://p/p", "http://p/q")
+    // bnode PREDICATES (generalized RDF) and a bnode graph name COLLIDING
+    // with a node label ride the identity too
+    val genPredK = Gen.oneOf(RDF + "first", RDF + "rest", RDF + "type", "http://p/p", "http://p/q", "_:b1")
     val genObjK: Gen[(String, String, String, String)] = Gen.oneOf(
       genTermK.map(t => if (t.startsWith("_:")) ("bnode", t, "", "") else ("iri", t, "", "")),
       Gen.oneOf("v", "42", "true").map(l => ("literal", l, "http://www.w3.org/2001/XMLSchema#string", "")),
       Gen.const(("literal", "7", "http://www.w3.org/2001/XMLSchema#integer", "")),
       Gen.const(("literal", "x", RDF + "langString", "en")))
-    val genGraphK = Gen.oneOf("", "", "_:g0", "http://g/")
+    val genGraphK = Gen.oneOf("", "", "_:g0", "http://g/", "_:b0")
     val genTripleK = for {
       s <- genTermK; p <- genPredK; o <- genObjK; g <- genGraphK
     } yield Triple(s, p, o._1, o._2, o._3, o._4, g)
