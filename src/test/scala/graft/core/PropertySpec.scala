@@ -1093,9 +1093,32 @@ class PropertySpec extends AnyFunSuite {
       }
       chain ++ Vector(head) ++ extra
     }
+    // direction-bearing shapes: i18n-datatyped literals and compound-literal
+    // bnode clusters (rdf:value/rdf:language/rdf:direction, referenced once)
+    val genI18nK: Gen[Triple] = for {
+      s <- genTermK
+      dt <- Gen.oneOf("https://www.w3.org/ns/i18n#en_rtl",
+        "https://www.w3.org/ns/i18n#_ltr", "https://www.w3.org/ns/i18n#de-de_rtl")
+      g <- genGraphK
+    } yield Triple(s, "http://p/p", "literal", "dtext", dt, "", g)
+    val genCompoundK: Gen[Vector[Triple]] = for {
+      g <- genGraphK
+      withLang <- Gen.oneOf(false, true)
+    } yield {
+      val cl = "_:cl0"
+      Vector(
+        Triple("http://s/a", "http://p/q", "bnode", cl, "", "", g),
+        Triple(cl, RDF + "value", "literal", "ctext",
+          "http://www.w3.org/2001/XMLSchema#string", "", g),
+        Triple(cl, RDF + "direction", "literal", "rtl",
+          "http://www.w3.org/2001/XMLSchema#string", "", g)) ++
+        (if (withLang) Vector(Triple(cl, RDF + "language", "literal", "en",
+          "http://www.w3.org/2001/XMLSchema#string", "", g)) else Vector.empty)
+    }
     val opts = JsonLdOptions()
-    forAll(Gen.zip(Gen.listOfN(8, genTripleK), genChainK, Gen.oneOf(false, true)), n = 300) {
-      case (noise, chain, useRdfType) =>
+    forAll(Gen.zip(Gen.listOfN(8, genTripleK), genChainK, Gen.oneOf(false, true),
+      genI18nK, genCompoundK), n = 300) {
+      case (noise, chain, useRdfType, i18n, compound) =>
         val optsK = opts.copy(useRdfType = useRdfType)
         val dataset = (noise.toVector ++ chain).distinct
         val back =
@@ -1106,6 +1129,31 @@ class PropertySpec extends AnyFunSuite {
         val qBack = BnodeCanon.toCanonicalNQuads(back.distinct)
         assert(qBack == qIn,
           s"toRdf∘fromRdf not identity on a dataset (useRdfType=$useRdfType)\nin:\n$qIn\nback:\n$qBack\ndataset: $dataset")
+        // rdfDirection legs: i18n-datatyped + compound-literal shapes must
+        // survive the mode that INTERPRETS them (reconstructed to
+        // @direction values and re-emitted identically) and the mode that
+        // does not (ordinary typed literals / plain bnode clusters)
+        for (dirMode <- Seq(None, Some("i18n-datatype"), Some("compound-literal"))) {
+          val optsD = JsonLdOptions(rdfDirection = dirMode)
+          val datasetD = (dataset :+ i18n) ++ compound
+          val backD =
+            try ToRdf.toRdf(JsonLdApi.fromRdf(datasetD, optsD), optsD)
+            catch { case e: Throwable =>
+              fail(s"rdfDirection=$dirMode round trip threw ${e.getClass.getName}: ${e.getMessage}\ndataset: $datasetD") }
+          val qInD = BnodeCanon.toCanonicalNQuads(datasetD.distinct)
+          val qBackD = BnodeCanon.toCanonicalNQuads(backD.distinct)
+          assert(qBackD == qInD,
+            s"rdfDirection=$dirMode: toRdf∘fromRdf not identity\nin:\n$qInD\nback:\n$qBackD\ndataset: $datasetD")
+        }
+        // useNativeTypes rewrites lexical forms: double round trip must be a
+        // fixpoint on datasets (mirrors the doc-derived convergence leg)
+        val optsN = opts.copy(useNativeTypes = true)
+        val datasetN = dataset :+ Triple("http://s/a", "http://p/p", "literal", "007",
+          "http://www.w3.org/2001/XMLSchema#integer", "", "")
+        val n1 = ToRdf.toRdf(JsonLdApi.fromRdf(datasetN, optsN), optsN)
+        val n2 = ToRdf.toRdf(JsonLdApi.fromRdf(n1, optsN), optsN)
+        assert(BnodeCanon.toCanonicalNQuads(n2.distinct) == BnodeCanon.toCanonicalNQuads(n1.distinct),
+          s"useNativeTypes not convergent on a dataset\ntrip1:\n${BnodeCanon.toCanonicalNQuads(n1.distinct)}\ntrip2:\n${BnodeCanon.toCanonicalNQuads(n2.distinct)}")
     }
   }
 
