@@ -127,24 +127,71 @@ object BnodeCanon {
 
     // initial hash: local first-degree signature ("_" masks bnode neighbors)
     def mask(s: String): String = if (s.startsWith("_:")) "_" else s
-    var hashes: Map[String, String] = hashRound(
+    val firstDegree: Map[String, String] = hashRound(
       mask, t => if (t.objKind == "bnode") "_" else objKey(t), t => s"g|${mask(t.pred)}", _ => "")
 
     // refinement: re-hash with neighbor hashes until stable or round cap.
-    // Skip entirely when first-degree signatures already separate every node
-    // (the overwhelmingly common case for document-local bnode graphs).
-    var round = 0
-    var changed = hashes.values.toSet.size != bnodes.size
-    while (changed && round < maxRounds) {
-      def term(s: String): String = if (s.startsWith("_:")) "#" + hashes(s) else s
-      val next = hashRound(
-        term, t => if (t.objKind == "bnode") "#" + hashes(t.objValue) else objKey(t),
-        t => s"g|${term(t.pred)}|${term(t.subj)}", b => hashes(b) + "\n")
-      changed = next != hashes &&
-        next.values.toSet.size != hashes.values.toSet.size // refine only while partitions split
-      hashes = next
-      round += 1
+    // Skips entirely when the signatures already separate every node (the
+    // overwhelmingly common case for document-local bnode graphs).
+    def refine(h0: Map[String, String]): Map[String, String] = {
+      var hs = h0
+      var round = 0
+      var changed = hs.values.toSet.size != bnodes.size
+      while (changed && round < maxRounds) {
+        def term(s: String): String = if (s.startsWith("_:")) "#" + hs(s) else s
+        val next = hashRound(
+          term, t => if (t.objKind == "bnode") "#" + hs(t.objValue) else objKey(t),
+          t => s"g|${term(t.pred)}|${term(t.subj)}", b => hs(b) + "\n")
+        changed = next != hs &&
+          next.values.toSet.size != hs.values.toSet.size // refine only while partitions split
+        hs = next
+        round += 1
+      }
+      hs
     }
+
+    // the full-graph signature under a hash assignment: quads rendered with
+    // node hashes instead of labels — equal signatures ⟺ identical final
+    // canonical output, and input labels never appear
+    def signatureOf(hs: Map[String, String]): String = {
+      def term(s: String): String = if (s.startsWith("_:")) "#" + hs(s) else s
+      triples.map(t => s"${term(t.subj)}|${term(t.pred)}|" +
+        (if (t.objKind == "bnode") "#" + hs(t.objValue) else objKey(t)) +
+        s"|${term(t.graph)}").sorted.mkString("\n")
+    }
+
+    // Individualization-refinement for WL-stable ties (bug #23, permutation
+    // sweep): an AUTOMORPHIC graph (uniform cycles/cliques) leaves hash-
+    // identical groups that refinement cannot split, and any tie-break that
+    // consults input labels makes canonical EDGES depend on input labeling.
+    // URDNA2015-style: take the tied group with the least hash, individualize
+    // each member in turn with a marker derived from the SHARED group hash
+    // (never the member's label), recurse, and keep the branch with the
+    // lexicographically least full-graph signature. Budget-capped: truly
+    // adversarial symmetry (a large uniform clique is factorial) falls back
+    // to the deterministic-but-label-dependent firstSeen ordinal below.
+    var indBudget = 1024
+    def breakTies(h0: Map[String, String]): Map[String, String] = {
+      val hs = refine(h0)
+      val tied = bnodes.toVector.groupBy(hs).filter(_._2.size > 1)
+      if (tied.isEmpty || indBudget <= 0) hs
+      else {
+        val (groupHash, members) = tied.minBy(_._1)
+        val distinguished = sha256(groupHash + "|ind")
+        var best: Map[String, String] = null
+        var bestSig: String = null
+        var explored = 0
+        for (m <- members if explored == 0 || indBudget > 0) {
+          indBudget -= 1
+          explored += 1
+          val cand = breakTies(hs.updated(m, distinguished))
+          val sig = signatureOf(cand)
+          if (bestSig == null || sig < bestSig) { best = cand; bestSig = sig }
+        }
+        best
+      }
+    }
+    val hashes: Map[String, String] = breakTies(firstDegree)
 
     val groups = bnodes.toVector.groupBy(hashes)
     val labels = collection.mutable.Map[String, String]()

@@ -140,7 +140,16 @@ object Canonicalize {
       r += 1
     }
 
-    // deterministic tie-break for automorphic nodes + final content label
+    // Deterministic tie-break for automorphic nodes + final content label.
+    // NOTE (bug #23 scope): this orderBy(node) consults INPUT node keys, so
+    // for WL-stable automorphic groups the corpus-scale labels are
+    // deterministic but not isomorphism-invariant — unlike BnodeCanon,
+    // which breaks such ties with budget-capped individualization-
+    // refinement. Corpus-scale individualization would need a recursive
+    // per-orbit join loop; ties are scoped per document (scope key), the
+    // pipeline's bnode labels are themselves generator-deterministic, and
+    // j02/j12 consume these labels only through within-mode comparisons,
+    // so the label-dependence is bounded and documented rather than fixed.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("scope"), col("h")).orderBy(col("node"))
     val labeled = hashes

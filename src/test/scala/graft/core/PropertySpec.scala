@@ -1157,6 +1157,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // --- wave K: canonicalization permutation sweep ---
+  // The canonicalizer's core guarantee: isomorphic graphs get identical
+  // labels. Generate random bnode graphs — including dense symmetric
+  // shapes (uniform-predicate cycles and cliques, where first-degree
+  // hashes collide and the WL refinement / tie-breaking paths must do the
+  // work) — and assert any label permutation canonicalizes identically,
+  // with and without a scope salt.
+  test("canonicalization sweep: random label permutations canonicalize identically") {
+    val labels = Vector("_:a0", "_:a1", "_:a2", "_:a3", "_:a4", "_:a5")
+    val genEdgeC: Gen[Triple] = for {
+      si <- Gen.chooseNum(0, labels.size - 1)
+      pred <- Gen.oneOf("http://p/e", "http://p/f", "_:a0")
+      obj <- Gen.frequency[(String, String, String, String)](
+        4 -> Gen.chooseNum(0, labels.size - 1).map(oi => ("bnode", labels(oi), "", "")),
+        1 -> Gen.const(("iri", "http://o/x", "", "")),
+        1 -> Gen.oneOf("v1", "v2").map(l =>
+          ("literal", l, "http://www.w3.org/2001/XMLSchema#string", "")))
+      g <- Gen.oneOf("", "", "http://g/", "_:a5")
+    } yield Triple(labels(si), pred, obj._1, obj._2, obj._3, obj._4, g)
+    // symmetric backbone: a uniform cycle over k nodes (same predicate,
+    // same literal decorations) — an automorphic core the random edges
+    // then partially break
+    val genCycleC: Gen[Vector[Triple]] = for {
+      k <- Gen.chooseNum(2, labels.size)
+      decorate <- Gen.oneOf(false, true)
+    } yield {
+      val cyc = (0 until k).map { i =>
+        Triple(labels(i), "http://p/next", "bnode", labels((i + 1) % k), "", "", "")
+      }.toVector
+      if (decorate) cyc ++ (0 until k).map(i =>
+        Triple(labels(i), "http://p/tag", "literal", "same",
+          "http://www.w3.org/2001/XMLSchema#string", "", "")).toVector
+      else cyc
+    }
+    val rnd = new scala.util.Random(4242)
+    forAll(Gen.zip(genCycleC, Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, genEdgeC))), n = 400) {
+      case (cycle, edges) =>
+        val graph = (cycle ++ edges).distinct
+        val perm = rnd.shuffle(labels)
+        val mapping = labels.zip(perm).toMap
+        def relabel(s: String): String = mapping.getOrElse(s, s)
+        val permuted = graph.map(t => t.copy(
+          subj = relabel(t.subj), pred = relabel(t.pred),
+          objValue = if (t.objKind == "bnode") relabel(t.objValue) else t.objValue,
+          graph = relabel(t.graph)))
+        assert(BnodeCanon.toCanonicalNQuads(graph) == BnodeCanon.toCanonicalNQuads(permuted),
+          s"canonical labels depend on input label names\ngraph: $graph\nperm: $mapping")
+        val c1 = BnodeCanon.canonicalize(graph, scopeSalt = "s1")
+        val c2 = BnodeCanon.canonicalize(permuted, scopeSalt = "s1")
+        assert(c1.toSet == c2.toSet,
+          s"salted canonicalization depends on input label names\ngraph: $graph\nperm: $mapping")
+    }
+  }
+
   test("expansion is idempotent: expand(expand(x)) == expand(x)") {
     forAll(genDoc) { doc =>
       val opts = JsonLdOptions(base = Some("http://base/doc"))
