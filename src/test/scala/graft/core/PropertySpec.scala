@@ -867,6 +867,83 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // --- wave L: processingMode json-ld-1.0 on the 1.0 feature subset ---
+  // 1.0's differences live almost entirely in CONTEXT processing; on pure
+  // expanded-form input stripped of 1.1-only constructs (@direction, @json
+  // literals, @included, nested lists), 1.0 and 1.1 expansion must agree
+  // exactly, toRdf must emit the same quads, and compaction against
+  // 1.0-legal probe contexts must round-trip the graph under 1.0 mode.
+  test("generative sweep: json-ld-1.0 mode agrees with 1.1 on the 1.0 feature subset") {
+    def strip11(v: JsonValue): JsonValue = v match {
+      case o: JObj if o.contains("@value") =>
+        if (o.get("@type").flatMap(_.asString).contains("@json")) JObj("@value" -> JStr("j10"))
+        else {
+          val out = new JObj()
+          o.iterator.foreach { case (k, vv) => if (k != "@direction") out.put(k, vv.deepCopy) }
+          if (out.size == 0) JObj("@value" -> JStr("j10")) else out
+        }
+      case o: JObj =>
+        val out = new JObj()
+        o.iterator.foreach { case (k, vv) =>
+          if (k == "@included") () // 1.1-only: drop
+          else if (k == "@list") {
+            val items = (strip11(vv) match {
+              case a: JArr => a.iterator.toVector
+              case other => Vector(other)
+            }).filterNot(_.asObj.exists(_.contains("@list"))) // 1.0 list-of-lists is an error
+            out.put(k, JArr.from(items))
+          } else out.put(k, strip11(vv))
+        }
+        out
+      case a: JArr => JArr.from(a.iterator.map(strip11).toVector)
+      case other => other
+    }
+    val opts11 = JsonLdOptions(base = Some("http://base/doc"))
+    val opts10 = opts11.copy(processingMode = ProcessingMode.JsonLd10)
+    // 1.0-legal probe contexts only (no scoped/protected/@prefix/@json/
+    // @graph containers/@id-@type maps/@direction)
+    val probe10: Vector[(String, JObj)] = Vector(
+      "empty" -> new JObj(),
+      "vocab" -> JObj("@vocab" -> JStr("http://p/")),
+      "set+lang" -> JObj(
+        "p1" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@set")),
+        "@language" -> JStr("en")),
+      "list" -> JObj("lst" -> JObj("@id" -> JStr("http://p/2"), "@container" -> JStr("@list"))),
+      "index-map" -> JObj("ix" -> JObj("@id" -> JStr("http://p/1"), "@container" -> JStr("@index"))),
+      "lang-map" -> JObj("lm" -> JObj("@id" -> JStr("http://p/3"), "@container" -> JStr("@language"))),
+      "reverse-term" -> JObj("rt" -> JObj("@reverse" -> JStr("http://p/2"))),
+      "id-coerce" -> JObj("ic" -> JObj("@id" -> JStr("http://p/1"), "@type" -> JStr("@id"))))
+    def canon(ts: Vector[Triple]): String = BnodeCanon.toCanonicalNQuads(ts)
+    forAll(genExpandedDocG, n = 150) { doc0 =>
+      val doc = strip11(doc0.deepCopy)
+      val e10 =
+        try JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts10)
+        catch { case e: JsonLdError =>
+          fail(s"1.0 expansion rejected a 1.0-safe doc: ${e.render}\ndoc: ${JsonWriter.write(doc)}") }
+      val e11 = JsonLdApi.expand(JsonLdInput.Doc(doc.deepCopy), opts11)
+      assert(JsonEq.jsonLdEq(e10, e11, ordered = false),
+        s"1.0 and 1.1 expansion disagree on a 1.0-safe doc\ndoc: ${JsonWriter.write(doc)}\n1.0: ${JsonWriter.write(e10)}\n1.1: ${JsonWriter.write(e11)}")
+      val q10 = canon(ToRdf.toRdf(e10.deepCopy.asArr.get, opts10))
+      val q11 = canon(ToRdf.toRdf(e11.deepCopy.asArr.get, opts11))
+      assert(q10 == q11,
+        s"1.0 and 1.1 toRdf disagree\ndoc: ${JsonWriter.write(doc)}\n1.0:\n$q10\n1.1:\n$q11")
+      for ((label, ctx) <- probe10) {
+        val compacted =
+          try JsonLdApi.compactPreExpanded(e10.deepCopy.asArr.get,
+            Some(JObj("@context" -> ctx.deepCopy)), opts10)
+          catch { case e: JsonLdError =>
+            fail(s"1.0 ctx=$label: compaction threw ${e.render}\ndoc: ${JsonWriter.write(doc)}") }
+        val re =
+          try JsonLdApi.expand(JsonLdInput.Doc(compacted), opts10)
+          catch { case e: JsonLdError =>
+            fail(s"1.0 ctx=$label: re-expansion threw ${e.render}\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}") }
+        val qRe = canon(ToRdf.toRdf(re, opts10))
+        assert(qRe == q10,
+          s"1.0 ctx=$label: graph changed through compaction\ndoc: ${JsonWriter.write(doc)}\ncompacted: ${JsonWriter.write(compacted)}\nin:\n$q10\nre:\n$qRe")
+      }
+    }
+  }
+
   // --- wave K: generative HTML script embedding ---
   // Generated docs rendered into <script type="application/ld+json"> blocks
   // across markup variants (tag case, attribute quoting, decoy classic
