@@ -944,6 +944,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // --- wave L: remotely-loaded generated contexts ---
+  // A generated context fetched by IRI (MapLoader) must behave exactly like
+  // the same context inline — including a CHAINED remote reference (a
+  // remote context whose @context is itself a remote IRI, the recursion/
+  // cycle-set path) and a second expansion exercising the loaded-context
+  // cache. The compact-form doc generator supplies the document body.
+  test("generative sweep: remotely-loaded generated contexts behave like inline ones") {
+    val opts = JsonLdOptions(base = Some("http://base/doc"))
+    // ADJUDICATED: @base is EXCLUDED from this equivalence. The remote-
+    // contexts cycle set is threaded as one shared mutable set (reference
+    // context.rs:94-100 FrozenSet; spec 4.1.2 step 5.7 gates @base on that
+    // set being empty), so after ANY remote element the @base of every
+    // LATER inline element in the same array is ignored too — remote and
+    // inline context arrays legitimately resolve relative @ids differently
+    // whenever @base appears. Strip @base on both sides; everything else
+    // (terms, aliases, defaults, @protected, chains) must agree exactly.
+    def noBase(c: JObj): JObj = {
+      val d = c.deepCopy.asInstanceOf[JObj]; d.removeKey("@base"); d
+    }
+    forAll(Gen.zip(genCompactDocG, genCtxG), n = 120) { case (doc, genCtx0) =>
+      val genCtx = noBase(genCtx0)
+      val docCtxNB = noBase(compactDocCtx)
+      val ctxAUrl = "http://ctx.example/a"
+      val ctxChainUrl = "http://ctx.example/chain"
+      val loader = new DocumentLoader.MapLoader(Map(
+        ctxAUrl -> JsonWriter.write(JObj("@context" -> genCtx.deepCopy)),
+        // a remote context whose @context is a STRING is a redirection (the
+        // alternate-recursion path); an ARRAY there is `invalid remote
+        // context` per reference context.rs:116-122 — engine matches
+        ctxChainUrl -> JsonWriter.write(JObj("@context" -> JStr(ctxAUrl)))))
+      def withCtx(ctxVal: JsonValue): JObj = {
+        val d = doc.deepCopy.asInstanceOf[JObj]
+        d.put("@context", ctxVal)
+        d
+      }
+      val inline = withCtx(JArr(genCtx.deepCopy, docCtxNB.deepCopy))
+      val remote = withCtx(JArr(JStr(ctxAUrl), docCtxNB.deepCopy))
+      val chained = withCtx(JArr(JStr(ctxChainUrl), docCtxNB.deepCopy))
+      val eInline =
+        try JsonLdApi.expand(JsonLdInput.Doc(inline), opts, loader)
+        catch { case e: JsonLdError =>
+          fail(s"inline expansion threw ${e.render}\ndoc: ${JsonWriter.write(inline)}") }
+      for ((label, d) <- Seq("remote" -> remote, "chained" -> chained)) {
+        val eRemote =
+          try JsonLdApi.expand(JsonLdInput.Doc(d.deepCopy), opts, loader)
+          catch { case e: JsonLdError =>
+            fail(s"$label expansion threw ${e.render}\ndoc: ${JsonWriter.write(d)}") }
+        assert(JsonEq.jsonLdEq(eRemote, eInline, ordered = false),
+          s"$label context expansion diverged from inline\nctx: ${JsonWriter.write(genCtx)}\ndoc: ${JsonWriter.write(doc)}\nremote: ${JsonWriter.write(eRemote)}\ninline: ${JsonWriter.write(eInline)}")
+        // second pass: the loaded-context cache must not change the result
+        val eAgain = JsonLdApi.expand(JsonLdInput.Doc(d.deepCopy), opts, loader)
+        assert(JsonEq.jsonLdEq(eAgain, eInline, ordered = false),
+          s"$label context second expansion diverged (cache path)\ndoc: ${JsonWriter.write(d)}")
+      }
+    }
+  }
+
   // --- wave K: generative HTML script embedding ---
   // Generated docs rendered into <script type="application/ld+json"> blocks
   // across markup variants (tag case, attribute quoting, decoy classic
