@@ -998,6 +998,27 @@ class PropertySpec extends AnyFunSuite {
         assert(JsonEq.jsonLdEq(eAgain, eInline, ordered = false),
           s"$label context second expansion diverged (cache path)\ndoc: ${JsonWriter.write(d)}")
       }
+      // @import: {"@import": U, ...own} must equal the MANUAL merge of the
+      // imported map with the importing context, own entries winning
+      // (context-processing @import step; import targets may not carry
+      // @import/@propagate themselves — genCtxG emits neither)
+      val importUrl = "http://ctx.example/imp"
+      val loaderImp = new DocumentLoader.MapLoader(Map(
+        importUrl -> JsonWriter.write(JObj("@context" -> genCtx.deepCopy))))
+      val importing = docCtxNB.deepCopy.asInstanceOf[JObj]
+      importing.put("@import", JStr(importUrl))
+      val merged = {
+        val m = genCtx.deepCopy.asInstanceOf[JObj]
+        docCtxNB.iterator.foreach { case (k, v) => m.put(k, v.deepCopy) }
+        m
+      }
+      val eImp =
+        try JsonLdApi.expand(JsonLdInput.Doc(withCtx(importing)), opts, loaderImp)
+        catch { case e: JsonLdError =>
+          fail(s"@import expansion threw ${e.render}\nimported: ${JsonWriter.write(genCtx)}\ndoc: ${JsonWriter.write(doc)}") }
+      val eMerged = JsonLdApi.expand(JsonLdInput.Doc(withCtx(merged)), opts, DocumentLoader.empty)
+      assert(JsonEq.jsonLdEq(eImp, eMerged, ordered = false),
+        s"@import diverged from the manual merge\nimported: ${JsonWriter.write(genCtx)}\ndoc: ${JsonWriter.write(doc)}\nimport: ${JsonWriter.write(eImp)}\nmerge:  ${JsonWriter.write(eMerged)}")
     }
   }
 
