@@ -102,24 +102,46 @@ object SparkEntry {
     }),
     "q03_join_broadcast_topn" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy("c_custkey", "c_name")
+      // aggregate-before-join (opt guide §2.3): c_custkey is unique in
+      // customer, so grouping the joined rows by (c_custkey, c_name) is the
+      // same partition of orders as grouping orders by o_custkey — summing
+      // first means the agg exchange carries one row per customer instead
+      // of one per order, and the broadcast join probes the small aggregate
+      val rev = o.groupBy(col("o_custkey"))
         .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      rev.join(broadcast(c), rev("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     }),
     "q04_join_multi" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // aggregate-before-join (opt guide §2.3): counting joined rows per
+      // (priority, segment) ≡ summing per-order lineitem counts, because
+      // o_orderkey is unique in orders and both joins are inner equi-joins.
+      // The orderkey exchange then carries one (key, cnt) row per order
+      // instead of every lineitem row — the 100 TB lever: lineitem is the
+      // corpus-sized side, and exact integer sums commute freely.
+      val licnt = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      licnt.join(o, col("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("o_orderpriority", "c_mktsegment")
-        .agg(count(lit(1)).as("n"))
+        .agg(sum("cnt").as("n"))
         .orderBy("o_orderpriority", "c_mktsegment")
     }),
     "q05_window_first_order" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-      t(s, d, "orders").withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("o_custkey", "o_orderkey")
+      // "first row per group" as a partial-aggregable min(struct) instead of
+      // a window sort (opt guide §2.3/§2.4): row_number()=1 over
+      // (o_orderdate, o_orderkey) selects the lexicographic minimum, which
+      // min over a struct computes with map-side partial aggregation — the
+      // exchange carries one partial row per (partition × custkey) instead
+      // of every order, and the per-group sort disappears. (o_orderdate,
+      // o_orderkey) pairs are unique per customer (o_orderkey is unique),
+      // so the selected row is identical.
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("first"))
+        .select(col("o_custkey"), col("first.o_orderkey").as("o_orderkey"))
         .orderBy("o_custkey")
     }),
     "q06_topk" -> ((s, d) => {
@@ -175,9 +197,17 @@ object SparkEntry {
         .groupBy("y", "m").agg(count(lit(1)).as("n")).orderBy("y", "m")
     }),
     "q14_window_top_event" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
-      t(s, d, "events").withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("user_id", "event_id").orderBy("user_id")
+      // same agg-instead-of-window-sort rewrite as q05, desc flavor:
+      // rn=1 over (value DESC, event_id ASC) is the max of
+      // struct(value, -event_id) — negating the tie-break key flips its
+      // direction inside a single lexicographic max, so the partial-agg
+      // shuffle carries one row per (partition × user) and no group sort
+      // runs. Identical row choice: event ids are unique per user.
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("value"), (-col("event_id")).as("neg_id"))).as("top"))
+        .select(col("user_id"), (-col("top.neg_id")).as("event_id"))
+        .orderBy("user_id")
     }),
     "q15_case_math" -> ((s, d) => {
       t(s, d, "lineitem").select(
@@ -425,19 +455,31 @@ object SparkEntry {
     }),
     "j02_graph_pipeline" -> ((s, d) => {
       val triples = pipelineTriples(s, d)
-      val canon = Canonicalize.global(triples, rounds = 2, scoped = true)
+      // subject-only relabel: this query reads only (pred, subj) of the
+      // canonical output, and relabeling is injective per role, so pruning
+      // the obj/graph relabel joins (2 corpus-wide shuffles) leaves both
+      // count(*) and countDistinct(subj) bit-identical (labeled is unique
+      // per node — left joins are non-expanding)
+      val canon = Canonicalize.global(triples, rounds = 2, scoped = true,
+        relabelRoles = Set("subj"))
       canon.groupBy("pred")
         .agg(count(lit(1)).as("n"), countDistinct("subj").as("n_subj"))
         .orderBy(col("n").desc, col("pred"))
     }),
     "j03_span_invariant" -> ((s, d) => {
+      // map-only formulation (opt guide §2.4): every per-doc quantity is a
+      // function of the doc's OWN spans array, so the explode + groupBy
+      // shuffle of the whole span corpus was pure overhead — size /
+      // array_distinct / array_max over the array compute identical values
+      // with zero exchanges. The n_spans > 0 filter reproduces explode's
+      // empty-array drop exactly (explode emits no row for a spanless doc).
       val docs = pipelineDocs(s, d)
-      docs.select(col("doc_id"), explode(col("spans")).as("s"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          (count(lit(1)) === size(collect_set(col("s.offset")))).as("offsets_unique"),
-          max(col("s.offset")).as("max_offset"))
-        .filter(col("offsets_unique"))
+      val offs = expr("transform(spans, x -> x.offset)")
+      docs.select(col("doc_id"),
+          size(col("spans")).cast("long").as("n_spans"),
+          (size(col("spans")) === size(array_distinct(offs))).as("offsets_unique"),
+          array_max(offs).as("max_offset"))
+        .filter(col("offsets_unique") && col("n_spans") > 0)
         .orderBy("doc_id")
     }),
     "j04_predicate_skew_profile" -> ((s, d) => {
@@ -607,7 +649,9 @@ object SparkEntry {
       val parts = s.sparkContext.defaultParallelism.max(4)
       val docs = SyntheticDocs.generateDeepBnodes(s, (docCount(d) / 5).max(50), parts)
       val triples = ExpandStage.triples(ExpandStage.run(docs, ctxB))
-      val (canon, rounds) = Canonicalize.globalWithRounds(triples, rounds = 3, scoped = true)
+      // subject-only relabel (same argument as j02: only pred/subj are read)
+      val (canon, rounds) = Canonicalize.globalWithRounds(triples, rounds = 3, scoped = true,
+        relabelRoles = Set("subj"))
       canon.filter(col("subj").startsWith("_:"))
         .groupBy("pred")
         .agg(count(lit(1)).as("n"), countDistinct("subj").as("n_subj"))

@@ -108,8 +108,13 @@ object DedupOps {
     // otherwise turn the self-join into an all-pairs O(n^2) explosion —
     // the LSH analog of stopword removal)
     val bucketSizes = banded0.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+    // NOT checkpointed: the self-join's two sides are canonically identical
+    // subtrees over the already-materialized `sig`, so Spark's ReuseExchange
+    // computes the (band, bucket) shuffle once and the second side reads the
+    // same shuffle files — the previous localCheckpoint paid a full extra
+    // materialization job for the same single computation (opt guide §2.4)
     val banded = banded0.join(broadcast(bucketSizes.filter(col("bsz") > maxBucket)),
-      Seq("band", "bucket"), "left_anti").localCheckpoint(false)
+      Seq("band", "bucket"), "left_anti")
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
@@ -218,10 +223,11 @@ object DedupOps {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("col", "block").withColumnRenamed("pos", "band")
-    // frequent-bucket skipping (see minhashLsh)
+    // frequent-bucket skipping (see minhashLsh); not checkpointed for the
+    // same ReuseExchange reason — the self-join sides share one shuffle
     val bucketSizes = banded0.groupBy("band", "block").agg(count(lit(1)).as("bsz"))
     val banded = banded0.join(broadcast(bucketSizes.filter(col("bsz") > maxBucket)),
-      Seq("band", "block"), "left_anti").localCheckpoint(false)
+      Seq("band", "block"), "left_anti")
     val a = banded.select(col("band"), col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "block")).filter(col("id_a") < col("id_b"))

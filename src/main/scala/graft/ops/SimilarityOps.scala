@@ -63,12 +63,18 @@ object SimilarityOps {
     * or checkpoint such inputs first, as Bench's warmup does).
     */
   private[ops] def bandedSignatures(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, tables: Int, outId: String): DataFrame =
-    df.select(col(idCol).as(outId),
+      planes: Int, tables: Int, outId: String, materialize: Boolean = true): DataFrame = {
+    val sigs = df.select(col(idCol).as(outId),
       posexplode(array((0 until tables).map(t =>
         lshSignature(col(vecCol), planes, seed = t * 64)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .localCheckpoint(false) // signatures computed once, not per join side
+    // materialize only when the caller reads the signatures MORE THAN once
+    // (the lshCandidates self-join); a single-consumer plan (lshTopK's
+    // corpus side) computes each signature exactly once inline, so the
+    // checkpoint there was a full extra write+read of the banded corpus
+    // for nothing (opt guide §5: cache only what is reused)
+    if (materialize) sigs.localCheckpoint(false) else sigs
+  }
 
   /** Self-join candidates within identical LSH buckets, multi-table: one
     * independent hyperplane family per table, a pair becomes a candidate
@@ -288,11 +294,14 @@ object SimilarityOps {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, planes: Int = 8, tables: Int = 4): DataFrame = {
-    // corpus side checkpoints (cand_id, table, bucket) only — the embedding
-    // never rides the band join or the checkpoint (judge round-2 finding);
-    // vectors join back by id after pair dedup. The query side is the
-    // broadcast-small side, so carrying query_vec there is free.
-    val c = bandedSignatures(corpus, idCol, vecCol, planes, tables, outId = "cand_id")
+    // corpus side carries (cand_id, table, bucket) only — the embedding
+    // never rides the band join (judge round-2 finding); vectors join back
+    // by id after pair dedup. The query side is the broadcast-small side,
+    // so carrying query_vec there is free. NOT materialized: this side is
+    // consumed exactly once (the bucket join), so the signatures already
+    // compute once per row inline.
+    val c = bandedSignatures(corpus, idCol, vecCol, planes, tables, outId = "cand_id",
+      materialize = false)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
       posexplode(array((0 until tables).map(t =>
         lshSignature(col(vecCol), planes, seed = t * 64)): _*)))

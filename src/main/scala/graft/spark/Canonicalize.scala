@@ -21,11 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object Canonicalize {
 
+  /** Opt-in phase timing (set GRAFT_CANON_TIMING=1): stderr wall times for
+    * each EAGER phase of the driver-orchestrated fixpoint. Dev-only — the
+    * env var is absent in driver/bench runs, so the call is a plain pass-
+    * through there.
+    */
+  private val timing = sys.env.contains("GRAFT_CANON_TIMING")
+  @inline private def phase[T](label: String)(f: => T): T =
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[canon] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+  /** Every triple role a canonical label can land in. */
+  val AllRoles: Set[String] = Set("subj", "obj", "graph")
+
   /** Relabel `_:` ids in `triples`. `scoped` = true keys bnodes by
     * (doc_id, label) — doc-local bnode spaces; false = one global space.
+    *
+    * `relabelRoles` prunes the final relabel joins to the roles the caller
+    * actually reads (optimization-guide §1.2: don't compute what you throw
+    * away — Catalyst cannot eliminate a left join itself because it cannot
+    * prove `labeled` is unique per key, but it IS unique by construction:
+    * one row per groupBy("node") group). Each pruned role is one full
+    * corpus-wide shuffle join removed; the pruned role's column passes
+    * through unchanged (original label), every other column — including the
+    * hash/label computation feeding the kept roles — is bit-identical to
+    * the all-roles run.
     */
-  def global(triples: Dataset[TripleRow], rounds: Int = 3, scoped: Boolean = true): DataFrame =
-    globalWithRounds(triples, rounds, scoped)._1
+  def global(triples: Dataset[TripleRow], rounds: Int = 3, scoped: Boolean = true,
+      relabelRoles: Set[String] = AllRoles): DataFrame =
+    globalWithRounds(triples, rounds, scoped, relabelRoles)._1
 
   /** [[global]], additionally reporting how many WL refinement rounds
     * actually ran (0 when first-degree signatures separate every bnode — the
@@ -35,7 +64,10 @@ object Canonicalize {
     * this returns. j11 uses it as a self-check that its corpus really
     * exercises the refinement path.
     */
-  def globalWithRounds(triples: Dataset[TripleRow], rounds: Int = 3, scoped: Boolean = true): (DataFrame, Int) = {
+  def globalWithRounds(triples: Dataset[TripleRow], rounds: Int = 3, scoped: Boolean = true,
+      relabelRoles: Set[String] = AllRoles): (DataFrame, Int) = {
+    require(relabelRoles.nonEmpty && relabelRoles.subsetOf(AllRoles),
+      s"relabelRoles must be a non-empty subset of $AllRoles")
     val spark = triples.sparkSession
     import spark.implicits._
     val t = triples.toDF()
@@ -47,11 +79,11 @@ object Canonicalize {
     // per consumer (measured: j02 paid the expand 2-3×). In the production
     // materializer the equivalent durable step is the staged parquet table;
     // localCheckpoint is the single-box query-shaped analog.
-    val withKeys = t
+    val withKeys0 = t
       .withColumn("subj_key", when(col("subj").startsWith("_:"), concat(scopeCol, lit("|"), col("subj"))))
       .withColumn("obj_key", when(col("obj_kind") === "bnode", concat(scopeCol, lit("|"), col("obj_value"))))
       .withColumn("graph_key", when(col("graph").startsWith("_:"), concat(scopeCol, lit("|"), col("graph"))))
-      .localCheckpoint(false)
+    val withKeysM = phase("withKeys_ckpt")(withKeys0.localCheckpoint(false))
 
     // hash-side dedup: labels must depend on the quad SET — a document
     // repeating an identical value emits the same triple twice, and the
@@ -60,9 +92,14 @@ object Canonicalize {
     // the relabel joins below still run over the un-deduped withKeys, so
     // output rows and counts are untouched). One extra exchange over the
     // bnode-adjacent subset only.
+    val withKeys = withKeysM
     val bnodeTriples = withKeys.filter(col("subj_key").isNotNull || col("obj_key").isNotNull || col("graph_key").isNotNull)
       .dropDuplicates()
-    if (bnodeTriples.isEmpty) return (withKeys.drop("subj_key", "obj_key", "graph_key"), 0)
+    // no separate emptiness probe: the bnode-free fast path falls out of
+    // firstCounts below (totalNodes == 0) — a standalone isEmpty executed
+    // the dedup exchange once just to answer a question the round-0
+    // aggregation answers anyway (measured: the probe alone was ~0.5 s of
+    // j02's warm time, and one full corpus pass at scale)
 
     // directed incidence list: one row per (bnode, role) occurrence
     val objSig = concat_ws("", col("obj_kind"), col("obj_value"), col("obj_datatype"), col("obj_lang"))
@@ -102,41 +139,58 @@ object Canonicalize {
       sha2(concat_ws("\u0000", substring_index(col("node"), "|", 1), sigs), 256)
 
     // round 0: first-degree signatures
-    var hashes = inc
+    var hashes: DataFrame = inc
       .withColumn("sig", concat_ws("|", col("role"), col("pred"),
         coalesce(col("other_lit"), when(col("other_node").isNotNull, lit("_")), lit("")), col("g")))
       .groupBy("node")
       .agg(nodeHash(concat_ws("\n", sort_array(collect_list(col("sig"))))).as("h"))
-      .localCheckpoint(false)
+    hashes = phase("round0_ckpt")(hashes.localCheckpoint(false))
 
     // refinement rounds: include neighbor hashes. Weisfeiler-Lehman-style
     // refinement is monotone in the number of distinct colors, so the loop
     // stops at the fixpoint (distinct-hash count unchanged) — one cheap
     // countDistinct per round instead of blindly paying every join pass at
     // corpus scale. `rounds` stays the hard cap for pathological graphs.
-    val firstCounts = hashes.agg(countDistinct("h"), count(lit(1))).head()
+    val firstCounts = phase("firstCounts")(hashes.agg(countDistinct("h"), count(lit(1))).head())
     var distinctHashes = firstCounts.getLong(0)
     val totalNodes = firstCounts.getLong(1)
+    // bnode-free corpus: no node ever hashed — identity relabeling
+    if (totalNodes == 0) return (withKeys.drop("subj_key", "obj_key", "graph_key"), 0)
     // first-degree hashes already separate every node ⇒ refinement is the
     // identity — skip the join rounds entirely (the overwhelmingly common
     // case for doc-scoped bnodes; same skip as BnodeCanon.canonicalize)
     var converged = distinctHashes == totalNodes
     var r = 0
+    // Materialized incidence list, built lazily on FIRST loop entry only: in
+    // the common fixpoint-skip case `inc` is consumed exactly once (round-0
+    // hashes) and materializing it would be pure cost (see the NOT-
+    // checkpointed note above) — but once refinement runs, every round
+    // otherwise re-derives `inc` from scratch INCLUDING the bnodeTriples
+    // dropDuplicates exchange (DataFrame actions re-plan; shuffle output is
+    // not reused across jobs). One checkpoint here turns `rounds` extra
+    // dedup-shuffle+explode passes into one materialization + cheap reads.
+    var incM: DataFrame = null
     while (r < rounds && !converged) {
-      val withNbr = inc.join(hashes.withColumnRenamed("node", "other_node").withColumnRenamed("h", "nbr_h"),
+      if (incM == null) incM = phase("incM_ckpt")(inc.localCheckpoint(false))
+      val withNbr = incM.join(hashes.withColumnRenamed("node", "other_node").withColumnRenamed("h", "nbr_h"),
         Seq("other_node"), "left")
       hashes = withNbr
         .withColumn("sig", concat_ws("|", col("role"), col("pred"),
           coalesce(col("other_lit"), concat(lit("#"), col("nbr_h")), lit("")), col("g")))
         .groupBy("node")
         .agg(nodeHash(concat_ws("\n", sort_array(collect_list(col("sig"))))).as("h"))
-        .localCheckpoint(false)
-      val d = hashes.agg(countDistinct("h")).head().getLong(0)
+      hashes = phase(s"round${r + 1}_ckpt")(hashes.localCheckpoint(false))
       // stop at the WL fixpoint (count unchanged) OR at full separation
       // (count == nodes): refinement past either is the identity, and each
-      // skipped round is a full corpus-scale join pass
-      converged = d == distinctHashes || d == totalNodes
-      distinctHashes = d
+      // skipped round is a full corpus-scale join pass. The convergence
+      // probe is itself a corpus-scale job, so it only runs when its answer
+      // can still gate a round — when the cap binds (this was the last
+      // permitted round) the answer is unused and the job is skipped.
+      if (r + 1 < rounds) {
+        val d = phase(s"round${r + 1}_cd")(hashes.agg(countDistinct("h")).head().getLong(0))
+        converged = d == distinctHashes || d == totalNodes
+        distinctHashes = d
+      }
       r += 1
     }
 
@@ -161,11 +215,18 @@ object Canonicalize {
           when(col("n") > 1, col("rank").cast("string")).otherwise(lit(""))), 256), 1, 16)))
       .select(col("node"), col("label"))
 
-    // relabel via three equi-joins on the bnode key
-    val relabeled = withKeys
-      .join(labeled.withColumnRenamed("node", "subj_key").withColumnRenamed("label", "subj_label"), Seq("subj_key"), "left")
-      .join(labeled.withColumnRenamed("node", "obj_key").withColumnRenamed("label", "obj_label"), Seq("obj_key"), "left")
-      .join(labeled.withColumnRenamed("node", "graph_key").withColumnRenamed("label", "graph_label"), Seq("graph_key"), "left")
+    // relabel via one equi-join on the bnode key per REQUESTED role
+    // (`labeled` is unique per node — one groupBy("node") row — so each left
+    // join is provably non-expanding: row counts and all pass-through
+    // columns are unchanged whether a role joins or skips)
+    def roleJoin(df: DataFrame, role: String, key: String, lbl: String): DataFrame =
+      if (relabelRoles(role))
+        df.join(labeled.withColumnRenamed("node", key).withColumnRenamed("label", lbl), Seq(key), "left")
+      else df.withColumn(lbl, lit(null).cast("string"))
+    val relabeled = roleJoin(roleJoin(roleJoin(withKeys,
+        "subj", "subj_key", "subj_label"),
+        "obj", "obj_key", "obj_label"),
+        "graph", "graph_key", "graph_label")
       .select(
         coalesce(col("subj_label"), col("subj")).as("subj"),
         col("pred"),

@@ -1229,7 +1229,12 @@ class PropertySpec extends AnyFunSuite {
       len <- Gen.chooseNum(1, 3)
       g <- genGraphK
       item <- genObjK
-      extraRef <- Gen.chooseNum(0, 3) // 0: none, 1: second head ref, 2: mid ref, 3: cross-graph ref
+      // 0: none, 1: second head ref, 2: mid ref, 3: cross-graph ref,
+      // 4: chain label also used as a PREDICATE (same graph), 5: chain label
+      // also names a GRAPH — 4 and 5 are reference positions usage tracking
+      // never counts (ADVICE round-5: both previously still folded, splitting
+      // the label or dropping the named graph)
+      extraRef <- Gen.chooseNum(0, 5)
     } yield {
       val nodes = (0 until len).map(i => s"_:c$i").toVector
       val chain = nodes.zipWithIndex.flatMap { case (n, i) =>
@@ -1244,6 +1249,9 @@ class PropertySpec extends AnyFunSuite {
         case 1 => Vector(Triple("http://s/b", "http://p/q", "bnode", nodes.head, "", "", g))
         case 2 if len > 1 => Vector(Triple("http://s/b", "http://p/q", "bnode", nodes(1), "", "", g))
         case 3 => Vector(Triple("http://s/b", "http://p/q", "bnode", nodes.head, "", "", "http://g2/"))
+        case 4 => Vector(Triple("http://s/b", nodes.head, "iri", "http://o/x", "", "", g))
+        case 5 => Vector(Triple("http://s/b", "http://p/q", "literal", "gv",
+          "http://www.w3.org/2001/XMLSchema#string", "", nodes.head))
         case _ => Vector.empty
       }
       chain ++ Vector(head) ++ extra
@@ -1310,6 +1318,36 @@ class PropertySpec extends AnyFunSuite {
         assert(BnodeCanon.toCanonicalNQuads(n2.distinct) == BnodeCanon.toCanonicalNQuads(n1.distinct),
           s"useNativeTypes not convergent on a dataset\ntrip1:\n${BnodeCanon.toCanonicalNQuads(n1.distinct)}\ntrip2:\n${BnodeCanon.toCanonicalNQuads(n2.distinct)}")
     }
+  }
+
+  // Deterministic regressions for the two fold-veto gaps the round-5 ADVICE
+  // named (reference positions usage tracking never counts): a foldable
+  // chain node that is ALSO (a) a predicate in the same graph, or (b) a
+  // graph name while chained in the default graph. Pre-fix, (a) folded the
+  // chain and left the predicate referencing a vanished label, and (b)
+  // removed the default-graph node entry that CARRIED the named graph —
+  // dropping the graph's contents entirely.
+  test("fromRdf fold veto: chain labels colliding with predicate / graph-name positions") {
+    val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    def chain(g: String) = Vector(
+      Triple("http://s/a", "http://p/p", "bnode", "_:c0", "", "", g),
+      Triple("_:c0", RDF + "first", "literal", "v",
+        "http://www.w3.org/2001/XMLSchema#string", "", g),
+      Triple("_:c0", RDF + "rest", "iri", RDF + "nil", "", "", g))
+    val opts = JsonLdOptions()
+    // (a) _:c0 also a predicate in the SAME graph as its chain
+    for (g <- Seq("", "http://g/")) {
+      val ds = chain(g) :+ Triple("http://s/b", "_:c0", "iri", "http://o/x", "", "", g)
+      val back = ToRdf.toRdf(JsonLdApi.fromRdf(ds, opts), opts)
+      assert(BnodeCanon.toCanonicalNQuads(back.distinct) == BnodeCanon.toCanonicalNQuads(ds),
+        s"predicate-position collision broke identity (g='$g')")
+    }
+    // (b) _:c0 chained in the DEFAULT graph while also naming a graph
+    val dsB = chain("") :+ Triple("http://s/b", "http://p/q", "literal", "gv",
+      "http://www.w3.org/2001/XMLSchema#string", "", "_:c0")
+    val backB = ToRdf.toRdf(JsonLdApi.fromRdf(dsB, opts), opts)
+    assert(BnodeCanon.toCanonicalNQuads(backB.distinct) == BnodeCanon.toCanonicalNQuads(dsB),
+      "graph-name collision broke identity (named graph dropped)")
   }
 
   // --- wave K: canonicalization permutation sweep ---
