@@ -629,8 +629,14 @@ object SparkEntry {
       // this isolates and pins the aggregation math j02 runs. The engine
       // half (expansion itself) stays covered by the 335-fixture suite + j01.
       val stage = s"$StageRoot/j01_triples"
+      // repartition, NOT coalesce, ahead of the small-file-count write:
+      // coalesce(4) propagates up the plan and would run the EXPANSION
+      // itself in 4 tasks (8× parallelism loss on a 32-core box, arbitrarily
+      // worse on a cluster); the round-robin shuffle keeps expansion at full
+      // width and only the write narrows (opt guide §6). Oracle-neutral:
+      // both engines aggregate whatever row distribution was staged.
       pipelineTriples(s, d).toDF()
-        .coalesce(4).write.mode("overwrite").parquet(stage)
+        .repartition(4).write.mode("overwrite").parquet(stage)
       s.read.parquet(stage)
         .groupBy("pred")
         .agg(count(lit(1)).as("n"), countDistinct("subj").as("n_subj"))

@@ -204,9 +204,12 @@ object SimilarityOps {
     val cents = ivfTrain(corpus, idCol, vecCol, nCells, iters)
     val assign = udf((v: Seq[Float]) => nearestCellsJvm(v, cents, 1)(0))
     val probes = udf((v: Seq[Float]) => nearestCellsJvm(v, cents, nProbe))
+    // single consumer (the cell join), so the assignment UDF already runs
+    // exactly once per row inline — a localCheckpoint here paid a full
+    // materialization job (and an extra corpus write) for nothing; the
+    // materialized-index variant of that idea is ivfBuildIndex
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
       assign(col(vecCol)).as("cell"))
-      .localCheckpoint(false) // assignment computed once, not per join stage
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
       explode(probes(col(vecCol))).as("cell")))
     val scored = c.join(q, Seq("cell")).filter(col("query_id") =!= col("cand_id"))
@@ -232,6 +235,13 @@ object SimilarityOps {
     val assign = udf((v: Seq[Float]) => nearestCellsJvm(v, cents, 1)(0))
     corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
         assign(col(vecCol)).as("cell"))
+      // cluster by cell before the partitioned write (opt guide §6, the
+      // write.distribution-mode=hash shape): without it every scan task
+      // opens a writer per cell it touches — tasks × cells small files;
+      // with it each cell's rows land in one task → one well-sized file
+      // per cell, and probe-time reads open nProbe files instead of
+      // nProbe × tasks
+      .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).partitionBy("cell").parquet(indexDir)
     cents
   }
