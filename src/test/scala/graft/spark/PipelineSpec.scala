@@ -115,6 +115,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
+  test("relabel-role pruning: subj-only output matches the full run on every pass-through column") {
+    import spark.implicits._
+    // mix of bnode subjects/objects/graphs so every relabel role is exercised
+    val raw = spark.createDataset(Seq(
+      TripleRow("_:b0", "http://p/knows", "bnode", "_:b1", "", "", "_:g0", "d1"),
+      TripleRow("_:b1", "http://p/name", "literal", "x", "http://www.w3.org/2001/XMLSchema#string", "", "", "d1"),
+      TripleRow("http://s/d1", "http://p/root", "bnode", "_:b0", "", "", "", "d1"),
+      TripleRow("_:b0", "http://p/knows", "bnode", "_:b1", "", "", "", "d2"),
+      TripleRow("http://s/iri", "http://p/plain", "literal", "y", "", "", "", "d3")))
+    val full = Canonicalize.global(raw, rounds = 3, scoped = true).as[TripleRow].collect().toVector
+    val subjOnly = Canonicalize.global(raw, rounds = 3, scoped = true, relabelRoles = Set("subj"))
+      .as[TripleRow].collect().toVector
+    assert(subjOnly.size == full.size, "role pruning must be non-expanding (labeled is unique per node)")
+    // subj + every non-relabeled column identical to the full run; obj/graph
+    // keep their ORIGINAL labels in the pruned run
+    def key(t: TripleRow) = (t.subj, t.pred, t.obj_kind, t.obj_datatype, t.obj_lang, t.doc_id)
+    assert(subjOnly.map(key).sorted == full.map(key).sorted)
+    assert(subjOnly.count(_.obj_value.startsWith("_:b")) == raw.collect().count(_.obj_kind == "bnode"))
+    assert(full.count(_.obj_value.startsWith("_:b")) == 0)
+    // the j02 invariants are bit-identical: per-pred row counts and
+    // distinct-subject counts
+    def agg(ts: Vector[TripleRow]) =
+      ts.groupBy(_.pred).map { case (p, rows) => (p, rows.size, rows.map(_.subj).distinct.size) }.toSet
+    assert(agg(subjOnly) == agg(full))
+  }
+
   test("distributed canonicalization: automorphic bnodes get distinct deterministic labels") {
     import spark.implicits._
     // _:a and _:b are structurally indistinguishable (automorphic pair)
